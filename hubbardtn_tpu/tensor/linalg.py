@@ -1,0 +1,283 @@
+"""Block linear algebra: matricization, SVD/QR/LQ/polar, truncation.
+
+TPU-native equivalent of TensorKit's per-block factorizations (used by MPSKit
+for gauging and by the reference's truncation drivers, e.g. ``SvdCut`` /
+``truncbelow`` at /root/reference/src/HubbardFunctions.jl:1010-1023,1363-1365).
+
+A tensor is matricized at a leg bipartition.  The matrix block charge is the
+charge *flowing left-to-right through the cut*::
+
+    r(row combo) = sum_{row legs} (q if arrow IN else dual(q))
+
+so MPS bond sectors read naturally as accumulated physical charge.  The new
+bond legs created by factorizations carry ``OUT`` arrow on the left factor and
+``IN`` arrow on the right factor, both labeled by ``r``.
+
+Everything except truncation decisions is jittable (static block tables);
+truncation inspects singular values on the host, as in SURVEY.md's
+"driver layer" plan.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..symmetry.groups import AbelianGroup, Sector
+from ..symmetry.spaces import Space
+from .symtensor import IN, OUT, Key, SymTensor
+
+
+@dataclass
+class LegFusion:
+    """Layout of a fused group of legs, per fused charge."""
+
+    # charge -> list of (combo key, offset, shape)
+    entries: Dict[Sector, List[Tuple[Key, int, Tuple[int, ...]]]]
+    # charge -> total fused dimension
+    dims: Dict[Sector, int]
+    # combo key -> (charge, offset, size)
+    lookup: Dict[Key, Tuple[Sector, int, int]]
+
+
+def fuse_legs(group: AbelianGroup, spaces: Sequence[Space], arrows: Sequence[bool],
+              use_in: bool, shift: Optional[Sector] = None) -> LegFusion:
+    combos: List[Tuple[Key, Sector, Tuple[int, ...]]] = [((), group.trivial, ())]
+    for sp, ar in zip(spaces, arrows):
+        new = []
+        for key, ch, shape in combos:
+            for q, d in sp:
+                eff = q if (ar == IN) == use_in else group.dual(q)
+                new.append((key + (q,), group.fuse(ch, eff), shape + (d,)))
+        combos = new
+    entries: Dict[Sector, List[Tuple[Key, int, Tuple[int, ...]]]] = defaultdict(list)
+    dims: Dict[Sector, int] = defaultdict(int)
+    lookup: Dict[Key, Tuple[Sector, int, int]] = {}
+    for key, ch, shape in combos:
+        if shift is not None:
+            ch = group.fuse(ch, shift)
+        size = int(np.prod(shape)) if shape else 1
+        off = dims[ch]
+        entries[ch].append((key, off, shape))
+        dims[ch] = off + size
+        lookup[key] = (ch, off, size)
+    return LegFusion(dict(entries), dict(dims), lookup)
+
+
+def matricize(T: SymTensor, nrows: int):
+    """Return (mats, rowinfo, colinfo): mats[r] is a 2D array per bond charge."""
+    g = T.group
+    rowinfo = fuse_legs(g, T.spaces[:nrows], T.arrows[:nrows], use_in=True)
+    # cols: effective out-flow minus tensor charge equals the row charge r
+    colinfo = fuse_legs(g, T.spaces[nrows:], T.arrows[nrows:], use_in=False,
+                        shift=g.dual(T.charge))
+    mats: Dict[Sector, jnp.ndarray] = {}
+    for key, b in T.blocks.items():
+        rkey, ckey = key[:nrows], key[nrows:]
+        r, roff, rsize = rowinfo.lookup[rkey]
+        c, coff, csize = colinfo.lookup[ckey]
+        assert c == r, "charge bookkeeping error in matricize"
+        if r not in mats:
+            mats[r] = jnp.zeros((rowinfo.dims[r], colinfo.dims[r]), dtype=T.dtype)
+        mats[r] = mats[r].at[roff:roff + rsize, coff:coff + csize].set(b.reshape(rsize, csize))
+    return mats, rowinfo, colinfo
+
+
+def dematricize(mats: Dict[Sector, jnp.ndarray], rowinfo: LegFusion, colinfo: LegFusion,
+                T_template: SymTensor, nrows: int) -> SymTensor:
+    """Inverse of matricize (block tables from the template tensor)."""
+    blocks: Dict[Key, jnp.ndarray] = {}
+    for r, m in mats.items():
+        for rkey, roff, rshape in rowinfo.entries.get(r, ()):
+            rsize = int(np.prod(rshape)) if rshape else 1
+            for ckey, coff, cshape in colinfo.entries.get(r, ()):
+                csize = int(np.prod(cshape)) if cshape else 1
+                blk = m[roff:roff + rsize, coff:coff + csize].reshape(rshape + cshape)
+                blocks[rkey + ckey] = blk
+    return SymTensor(T_template.group, T_template.spaces, T_template.arrows, blocks,
+                     T_template.charge, T_template.dtype)
+
+
+def _left_factor(T: SymTensor, nrows: int, rowinfo: LegFusion,
+                 blocks_2d: Dict[Sector, jnp.ndarray], bond_space: Space) -> SymTensor:
+    """Assemble the left factor (rows..., bond OUT) from per-charge matrices."""
+    out_blocks: Dict[Key, jnp.ndarray] = {}
+    for r, m in blocks_2d.items():
+        if bond_space.dim_of(r) == 0:
+            continue
+        for rkey, roff, rshape in rowinfo.entries.get(r, ()):
+            rsize = int(np.prod(rshape)) if rshape else 1
+            out_blocks[rkey + (r,)] = m[roff:roff + rsize, :].reshape(rshape + (m.shape[1],))
+    return SymTensor(T.group, T.spaces[:nrows] + (bond_space,), T.arrows[:nrows] + (OUT,),
+                     out_blocks, T.group.trivial, T.dtype)
+
+
+def _right_factor(T: SymTensor, nrows: int, colinfo: LegFusion,
+                  blocks_2d: Dict[Sector, jnp.ndarray], bond_space: Space) -> SymTensor:
+    """Assemble the right factor (bond IN, cols...) from per-charge matrices."""
+    out_blocks: Dict[Key, jnp.ndarray] = {}
+    for r, m in blocks_2d.items():
+        if bond_space.dim_of(r) == 0:
+            continue
+        for ckey, coff, cshape in colinfo.entries.get(r, ()):
+            csize = int(np.prod(cshape)) if cshape else 1
+            out_blocks[(r,) + ckey] = m[:, coff:coff + csize].reshape((m.shape[0],) + cshape)
+    return SymTensor(T.group, (bond_space,) + T.spaces[nrows:], (IN,) + T.arrows[nrows:],
+                     out_blocks, T.charge, T.dtype)
+
+
+# ----------------------------------------------------------------------
+# factorizations
+# ----------------------------------------------------------------------
+
+def qr(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
+    """T = Q R with Q an isometry (Q^dag Q = I on the bond)."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Qs, Rs, bond = {}, {}, {}
+    for r, m in mats.items():
+        q, rr = jnp.linalg.qr(m, mode="reduced")
+        Qs[r], Rs[r] = q, rr
+        bond[r] = q.shape[1]
+    bond_space = Space(T.group, bond)
+    Q = _left_factor(T, nrows, rowinfo, Qs, bond_space)
+    R = _right_factor(T, nrows, colinfo, Rs, bond_space)
+    return Q, R
+
+
+def lq(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
+    """T = L Q with Q having orthonormal rows (Q Q^dag = I on the bond)."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Ls, Qs, bond = {}, {}, {}
+    for r, m in mats.items():
+        qt, rt = jnp.linalg.qr(jnp.conj(m.T), mode="reduced")
+        Ls[r] = jnp.conj(rt.T)
+        Qs[r] = jnp.conj(qt.T)
+        bond[r] = qt.shape[1]
+    bond_space = Space(T.group, bond)
+    L = _left_factor(T, nrows, rowinfo, Ls, bond_space)
+    Q = _right_factor(T, nrows, colinfo, Qs, bond_space)
+    return L, Q
+
+
+def svd(T: SymTensor, nrows: int):
+    """Full (untruncated) SVD: returns (U, s_dict, Vh, bond_space)."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Us, ss, Vhs, bond = {}, {}, {}, {}
+    for r, m in mats.items():
+        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        Us[r], ss[r], Vhs[r] = u, s, vh
+        bond[r] = u.shape[1]
+    bond_space = Space(T.group, bond)
+    U = _left_factor(T, nrows, rowinfo, Us, bond_space)
+    Vh = _right_factor(T, nrows, colinfo, Vhs, bond_space)
+    return U, ss, Vh, bond_space
+
+
+def polar(T: SymTensor, nrows: int) -> SymTensor:
+    """Unitary polar factor of the matricization (isometry W = U V^dag)."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Ws = {}
+    bond = {}
+    for r, m in mats.items():
+        u, _, vh = jnp.linalg.svd(m, full_matrices=False)
+        Ws[r] = u @ vh
+        bond[r] = m.shape[1]
+    # polar factor has the same shape as T itself
+    out = dematricize(Ws, rowinfo, colinfo, T, nrows)
+    return out
+
+
+def eigh(T: SymTensor) -> Tuple[Dict[Sector, jnp.ndarray], SymTensor]:
+    """Hermitian eigendecomposition of a square 2-leg tensor.
+
+    Returns (eigenvalues per sector, eigenvector tensor V with legs
+    (row, bond OUT)) such that T = V diag(w) V^dag."""
+    assert T.ndim == 2
+    ws, Vs, bond = {}, {}, {}
+    for (q0, q1), b in T.blocks.items():
+        assert q0 == q1, "eigh requires block-diagonal tensor"
+        w, v = jnp.linalg.eigh(b)
+        ws[q0], Vs[q0] = w, v
+        bond[q0] = b.shape[0]
+    bond_space = Space(T.group, bond)
+    blocks = {(q, q): v for q, v in Vs.items()}
+    V = SymTensor(T.group, (T.spaces[0], bond_space), (T.arrows[0], OUT), blocks,
+                  T.group.trivial, T.dtype)
+    return ws, V
+
+
+# ----------------------------------------------------------------------
+# truncation (host-side decisions, reference truncbelow/truncdim analogs)
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Truncation:
+    """Combined truncation scheme.
+
+    cutoff: discard singular values < cutoff (reference ``truncbelow``,
+        src/HubbardFunctions.jl:1010).
+    max_dim: keep at most this many states in total, largest first
+        (reference ``truncdim``, :1363-1365).
+    """
+
+    cutoff: float = 0.0
+    max_dim: Optional[int] = None
+
+    def keep_counts(self, ss: Dict[Sector, np.ndarray]) -> Dict[Sector, int]:
+        entries = []  # (value, sector, index)
+        for q, s in ss.items():
+            s = np.asarray(s)
+            for i, v in enumerate(s):
+                entries.append((float(v), q, i))
+        entries.sort(key=lambda e: -e[0])
+        if self.max_dim is not None:
+            entries = entries[: self.max_dim]
+        kept = [e for e in entries if e[0] >= self.cutoff]
+        if not kept and entries:
+            kept = entries[:1]  # never return an empty bond
+        counts: Dict[Sector, int] = defaultdict(int)
+        for _, q, i in kept:
+            counts[q] = max(counts[q], i + 1)
+        return dict(counts)
+
+
+def svd_truncate(T: SymTensor, nrows: int, trunc: Truncation):
+    """Truncated SVD.  Returns (U, s_dict, Vh, bond_space, err) where err is
+    the Frobenius norm of the discarded singular values."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Us, ss, Vhs = {}, {}, {}
+    for r, m in mats.items():
+        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        Us[r], ss[r], Vhs[r] = u, s, vh
+    ss_host = {q: np.asarray(s) for q, s in ss.items()}
+    counts = trunc.keep_counts(ss_host)
+    err_sq = 0.0
+    for q, s in ss_host.items():
+        k = counts.get(q, 0)
+        err_sq += float(np.sum(s[k:] ** 2))
+    Us_t, ss_t, Vhs_t, bond = {}, {}, {}, {}
+    for q, k in counts.items():
+        if k == 0:
+            continue
+        Us_t[q] = Us[q][:, :k]
+        ss_t[q] = ss[q][:k]
+        Vhs_t[q] = Vhs[q][:k, :]
+        bond[q] = k
+    bond_space = Space(T.group, bond)
+    U = _left_factor(T, nrows, rowinfo, Us_t, bond_space)
+    Vh = _right_factor(T, nrows, colinfo, Vhs_t, bond_space)
+    return U, ss_t, Vh, bond_space, float(np.sqrt(err_sq))
+
+
+def diag_tensor(group, bond_space: Space, values: Dict[Sector, jnp.ndarray], dtype=None) -> SymTensor:
+    """Diagonal 2-leg tensor (bond IN, bond OUT) from per-sector vectors."""
+    blocks = {}
+    for q, v in values.items():
+        blocks[(q, q)] = jnp.diag(jnp.asarray(v))
+    t = SymTensor(group, (bond_space, bond_space), (IN, OUT), blocks, group.trivial,
+                  dtype or next(iter(blocks.values())).dtype if blocks else jnp.float64)
+    return t

@@ -1,0 +1,154 @@
+"""VUMPS ground-state solver for uniform MPS.
+
+TPU-native equivalent of MPSKit's ``find_groundstate(psi, H, VUMPS(...))``
+(reference call sites /root/reference/src/HubbardFunctions.jl:1012,1017,1025).
+
+Per iteration: solve the smallest eigenpair of the effective Hamiltonians
+H_AC (per site) and H_C (per bond) with packed Lanczos, then recover the
+isometric AL/AR via the QR-based gauge update AL = Q(AC) Q(C)^dag.  All
+block tables stay fixed across iterations, so every matvec hits the same
+jitted XLA program of batched ``dot_general`` — the XLA-friendly property
+the survey's build plan calls for (SURVEY.md section 7.6)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mpo.fsm import MPOHamiltonian
+from ..mps.imps import UniformMPS, absorb_bond_left, absorb_bond_right
+from ..solvers.krylov import Packer, full_blocks, lanczos_ground
+from ..tensor import linalg as tla
+from ..tensor.symtensor import SymTensor, tensordot
+from .environments import Environments
+
+
+def apply_H_AC(GL: Dict[int, SymTensor], W, GR: Dict[int, SymTensor],
+               AC: SymTensor) -> SymTensor:
+    """Effective one-site Hamiltonian: sum over FSM transitions (a,b) of
+    GL[a] . W[(a,b)] . AC . GR[b]."""
+    out: Optional[SymTensor] = None
+    for (a, b), op in W.items():
+        X = GL.get(a)
+        R = GR.get(b)
+        if X is None or R is None or not X.blocks or not R.blocks:
+            continue
+        Y = tensordot(X, AC, axes=([1], [0]))        # (bra_l, p, r)
+        Y = tensordot(op, Y, axes=([1], [1]))        # (p_out, bra_l, r)
+        Y = tensordot(Y, R, axes=([2], [0]))         # (p_out, bra_l, bra_r)
+        Y = Y.transpose((1, 0, 2))                   # (bra_l, p_out, bra_r)
+        out = Y if out is None else out + Y
+    return out if out is not None else AC * 0.0
+
+
+def apply_H_C(GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
+              C: SymTensor) -> SymTensor:
+    """Effective zero-site Hamiltonian: sum over channels a of
+    GL[a] . C . GR[a]  (GL at the bond left of site x+1, GR right of x)."""
+    out: Optional[SymTensor] = None
+    for a, X in GL.items():
+        R = GR.get(a)
+        if R is None or not X.blocks or not R.blocks:
+            continue
+        Y = tensordot(X, C, axes=([1], [0]))         # (bra_l, r)
+        Y = tensordot(Y, R, axes=([1], [0]))         # (bra_l, bra_r)
+        out = Y if out is None else out + Y
+    return out if out is not None else C * 0.0
+
+
+@partial(jax.jit, static_argnames=("packer",))
+def _h_ac_packed(vec, GL, W, GR, *, packer: Packer):
+    return packer.pack(apply_H_AC(GL, W, GR, packer.unpack(vec)))
+
+
+@partial(jax.jit, static_argnames=("packer",))
+def _h_c_packed(vec, GL, GR, *, packer: Packer):
+    return packer.pack(apply_H_C(GL, GR, packer.unpack(vec)))
+
+
+def gauge_from_AC_C(AC: SymTensor, C_left: SymTensor, C_right: SymTensor):
+    """Recover isometric (AL, AR) from the updated AC and bond matrices via
+    the positive-QR polar trick: AL = Q(AC|2) Q(C_right|1)^dag and the LQ
+    mirror for AR."""
+    QAC, _ = tla.qr(AC, 2)
+    QC, _ = tla.qr(C_right, 1)
+    AL = tensordot(QAC, QC.conj(), axes=([2], [1]))      # (vl, p, l_C)
+
+    _, QAC_r = tla.lq(AC, 1)
+    _, QC_l = tla.lq(C_left, 1)
+    AR = tensordot(QC_l.conj(), QAC_r, axes=([0], [0]))  # (r_C, p, vr)
+    return AL, AR
+
+
+@dataclass
+class VUMPSResult:
+    psi: UniformMPS
+    envs: Environments
+    energy: float          # per site
+    error: float           # gauge/galerkin error
+    iterations: int
+    converged: bool
+    history: List[dict]
+
+
+def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
+          maxiter: int = 200, krylov_dim: int = 16, verbosity: int = 0,
+          envs: Environments = None) -> VUMPSResult:
+    """Variational uniform MPS ground-state optimization."""
+    T = psi.T
+    history: List[dict] = []
+    err = np.inf
+    envs = Environments(psi, H, tol=max(tol * 1e-2, 1e-14), prev=envs)
+    energy = float(jnp.real(envs.energy_per_site))
+    converged = False
+    for it in range(maxiter):
+        # dynamic inner tolerance: eigenproblems a bit tighter than the error
+        inner_tol = max(min(1e-3, err * 1e-2), tol * 1e-2)
+        ACs_new: List[SymTensor] = []
+        Cs_new: List[SymTensor] = []
+        for x in range(T):
+            GLx, Wx, GRx = envs.GLs[x], H.Ws[x], envs.GRs[x]
+            GLx1 = envs.GLs[(x + 1) % T]
+
+            AC0 = full_blocks(psi.AC(x))
+            pk_ac = Packer(AC0)
+            _, v_ac, _ = lanczos_ground(
+                lambda v: _h_ac_packed(v, GLx, Wx, GRx, packer=pk_ac),
+                pk_ac.pack(AC0), krylov_dim=krylov_dim, tol=inner_tol)
+            ACs_new.append(pk_ac.unpack(v_ac))
+
+            C0 = full_blocks(psi.Cs[x])
+            pk_c = Packer(C0)
+            _, v_c, _ = lanczos_ground(
+                lambda v: _h_c_packed(v, GLx1, GRx, packer=pk_c),
+                pk_c.pack(C0), krylov_dim=krylov_dim, tol=inner_tol)
+            Cs_new.append(pk_c.unpack(v_c))
+
+        ALs_new, ARs_new = [], []
+        err = 0.0
+        for x in range(T):
+            AL, AR = gauge_from_AC_C(ACs_new[x], Cs_new[(x - 1) % T], Cs_new[x])
+            ALs_new.append(AL)
+            ARs_new.append(AR)
+            dl = (ACs_new[x] - absorb_bond_right(AL, Cs_new[x])).norm()
+            dr = (ACs_new[x] - absorb_bond_left(Cs_new[(x - 1) % T], AR)).norm()
+            err = max(err, float(dl), float(dr))
+
+        psi = UniformMPS(ALs_new, ARs_new, Cs_new)
+        envs = Environments(psi, H, tol=max(min(tol * 1e-2, err * 1e-3), 1e-14),
+                            prev=envs)
+        energy = float(jnp.real(envs.energy_per_site))
+        history.append({"iter": it, "energy": energy, "error": err})
+        if verbosity >= 2:
+            print(f"[vumps] iter={it:3d}  e={energy:+.12f}  err={err:.3e}")
+        if err < tol:
+            converged = True
+            break
+    if verbosity >= 1:
+        print(f"[vumps] done: e={energy:+.12f} err={err:.3e} iters={len(history)}")
+    return VUMPSResult(psi, envs, energy, float(err), len(history), converged, history)

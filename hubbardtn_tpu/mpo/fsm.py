@@ -45,6 +45,7 @@ class MPOHamiltonian:
     n_channels: List[int]                      # per bond (bond x = left of site x)
     charges: List[List[Sector]]                # per bond, per channel: env charge
     Ws: List[Dict[Tuple[int, int], SymTensor]]  # per site: (a@bond x, b@bond x+1) -> op
+    max_len: int = 1                           # longest term string, in sites
 
     @property
     def length(self) -> int:
@@ -157,7 +158,8 @@ def build_mpo(site: Site, T: int, compiled: Sequence[CompiledTerm]) -> MPOHamilt
             W[key] = op
         Ws.append(W)
 
-    return MPOHamiltonian(site, T, n_channels, charges, Ws)
+    max_len = max((ct.length for ct in compiled), default=1)
+    return MPOHamiltonian(site, T, n_channels, charges, Ws, max_len)
 
 
 def mpo_from_terms(site: Site, T: int, terms: Sequence[Term]) -> MPOHamiltonian:

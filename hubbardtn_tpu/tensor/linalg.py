@@ -134,12 +134,21 @@ def _right_factor(T: SymTensor, nrows: int, colinfo: LegFusion,
 # factorizations
 # ----------------------------------------------------------------------
 
+def _pos_diag(q, r):
+    """Gauge-fix a reduced QR so diag(R) >= 0 (unique, phase-stable)."""
+    d = jnp.diagonal(r)
+    mag = jnp.abs(d)
+    ph = jnp.where(mag > 1e-300, d / jnp.where(mag > 1e-300, mag, 1.0), 1.0)
+    return q * ph[None, :], r * jnp.conj(ph)[:, None]
+
+
 def qr(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
     """T = Q R with Q an isometry (Q^dag Q = I on the bond)."""
     mats, rowinfo, colinfo = matricize(T, nrows)
     Qs, Rs, bond = {}, {}, {}
     for r, m in mats.items():
         q, rr = jnp.linalg.qr(m, mode="reduced")
+        q, rr = _pos_diag(q, rr)
         Qs[r], Rs[r] = q, rr
         bond[r] = q.shape[1]
     bond_space = Space(T.group, bond)
@@ -154,6 +163,7 @@ def lq(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
     Ls, Qs, bond = {}, {}, {}
     for r, m in mats.items():
         qt, rt = jnp.linalg.qr(jnp.conj(m.T), mode="reduced")
+        qt, rt = _pos_diag(qt, rt)
         Ls[r] = jnp.conj(rt.T)
         Qs[r] = jnp.conj(qt.T)
         bond[r] = qt.shape[1]

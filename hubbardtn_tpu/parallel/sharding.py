@@ -1,0 +1,52 @@
+"""Device-mesh sharding for block-sparse tensor networks.
+
+The reference has no distributed execution at all (SURVEY.md section 2C);
+its parallelism is vendor-BLAS threads within a block GEMM.  The TPU-native
+analog: every SymTensor is a pytree of per-sector blocks, so we hand XLA a
+*per-leaf* sharding — large blocks are split along their longest bond axis
+(tensor-parallel GEMMs riding ICI collectives), small blocks are replicated.
+XLA's SPMD partitioner then inserts the all-gathers/reduce-scatters; no
+hand-written collectives are needed for the matvec path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "tp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def block_sharding(mesh: Mesh, shape, axis_name: str = "tp",
+                   min_dim: int = 2):
+    """NamedSharding for one block: shard the largest divisible axis."""
+    n = mesh.devices.size
+    best = None
+    for i, d in enumerate(shape):
+        if d % n == 0 and d >= max(min_dim, n):
+            if best is None or d > shape[best]:
+                best = i
+    spec = [None] * len(shape)
+    if best is not None:
+        spec[best] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def tree_shardings(mesh: Mesh, tree, axis_name: str = "tp"):
+    """Per-leaf shardings for an arbitrary pytree of block arrays."""
+    return jax.tree_util.tree_map(
+        lambda leaf: block_sharding(mesh, leaf.shape, axis_name), tree)
+
+
+def shard_tree(mesh: Mesh, tree, axis_name: str = "tp"):
+    """Place every leaf of a pytree according to its block sharding."""
+    shardings = tree_shardings(mesh, tree, axis_name)
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

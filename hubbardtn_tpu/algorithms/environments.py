@@ -15,8 +15,11 @@ strictly decrease), intermediate-channel environments are *finite* sums and
 converge exactly after ``ceil(Lmax/T)`` unit-cell sweeps.  Only the FINAL
 (left) / INIT (right) channels require the standard infinite geometric sum,
 solved as a regularized linear problem with GMRES and energy subtraction —
-the energy per unit cell falls out of the regularization.  The cell-transfer
-operator inside GMRES is a single jitted XLA program over packed vectors.
+the energy per unit cell falls out of the regularization.
+
+All environment dicts carry *every* channel with the complete block table
+(zero-filled where absent), so the whole pre-sweep + interior-fill pipeline
+jits into a handful of stable XLA programs per MPS structure.
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ import jax.numpy as jnp
 from ..mpo.fsm import MPOHamiltonian
 from ..mps.imps import UniformMPS, bond_identity, transfer_left, transfer_right
 from ..solvers.krylov import Packer, full_blocks, gmres
-from ..tensor.symtensor import SymTensor, tensordot
+from ..symmetry.spaces import Space
+from ..tensor.symtensor import IN, OUT, SymTensor, tensordot
 
 
 def pair_envs(GL: SymTensor, GR: SymTensor) -> jnp.ndarray:
@@ -49,8 +53,8 @@ def _acc(out: Dict[int, SymTensor], b: int, contrib: SymTensor):
         out[b] = contrib
 
 
-def mpo_transfer_left(GL: Dict[int, SymTensor], W, A: SymTensor, B: SymTensor,
-                      ident: SymTensor) -> Dict[int, SymTensor]:
+def mpo_transfer_left(GL: Dict[int, SymTensor], W, A: SymTensor,
+                      B: SymTensor) -> Dict[int, SymTensor]:
     """One-site left-to-right environment update.  A = ket tensor, B = tensor
     whose conjugate forms the bra (both AL in practice)."""
     out: Dict[int, SymTensor] = {}
@@ -59,17 +63,14 @@ def mpo_transfer_left(GL: Dict[int, SymTensor], W, A: SymTensor, B: SymTensor,
         X = GL.get(a)
         if X is None or not X.blocks:
             continue
-        if op is ident:
-            _acc(out, b, transfer_left(X, A, B))
-        else:
-            Y = tensordot(X, A, axes=([1], [0]))       # (bra, p, k')
-            Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, bra, k')
-            _acc(out, b, tensordot(Bc, Y, axes=([0, 1], [1, 0])))
+        Y = tensordot(X, A, axes=([1], [0]))       # (bra, p, k')
+        Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, bra, k')
+        _acc(out, b, tensordot(Bc, Y, axes=([0, 1], [1, 0])))
     return out
 
 
-def mpo_transfer_right(GR: Dict[int, SymTensor], W, A: SymTensor, B: SymTensor,
-                       ident: SymTensor) -> Dict[int, SymTensor]:
+def mpo_transfer_right(GR: Dict[int, SymTensor], W, A: SymTensor,
+                       B: SymTensor) -> Dict[int, SymTensor]:
     """One-site right-to-left environment update (returns env at left bond)."""
     out: Dict[int, SymTensor] = {}
     Bc = B.conj()
@@ -77,13 +78,10 @@ def mpo_transfer_right(GR: Dict[int, SymTensor], W, A: SymTensor, B: SymTensor,
         X = GR.get(b)
         if X is None or not X.blocks:
             continue
-        if op is ident:
-            _acc(out, a, transfer_right(X, A, B))
-        else:
-            Y = tensordot(A, X, axes=([2], [0]))       # (vl, p, bra)
-            Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, vl, bra)
-            # contract p_out with bra p, bra leg with bra vr -> (ket IN, bra OUT)
-            _acc(out, a, tensordot(Y, Bc, axes=([0, 2], [1, 2])))
+        Y = tensordot(A, X, axes=([2], [0]))       # (vl, p, bra)
+        Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, vl, bra)
+        # contract p_out with bra p, bra leg with bra vr -> (ket IN, bra OUT)
+        _acc(out, a, tensordot(Y, Bc, axes=([0, 2], [1, 2])))
     return out
 
 
@@ -95,6 +93,74 @@ def rho_right(C: SymTensor) -> SymTensor:
 def rho_left(C: SymTensor) -> SymTensor:
     """C^dag C: left-closing density (bra IN, ket OUT) on the AR bond basis."""
     return tensordot(C.conj(), C, axes=([0], [0]))
+
+
+def _zero_env_left(group, V: Space, charges, dtype) -> Dict[int, SymTensor]:
+    return {a: SymTensor.zeros(group, (V, V), (IN, OUT), charge=qa, dtype=dtype)
+            for a, qa in enumerate(charges)}
+
+
+def _zero_env_right(group, V: Space, charges, dtype) -> Dict[int, SymTensor]:
+    g = group
+    return {b: SymTensor.zeros(g, (V, V), (IN, OUT), charge=g.dual(qb),
+                               dtype=dtype)
+            for b, qb in enumerate(charges)}
+
+
+def _canon(template: Dict[int, SymTensor],
+           data: Dict[int, SymTensor]) -> Dict[int, SymTensor]:
+    """Project ``data`` onto the full-channel zero template (adds missing
+    channels/blocks as zeros)."""
+    out = {}
+    for a, z in template.items():
+        d = data.get(a)
+        out[a] = z if d is None else z + d
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "fin"))
+def _presweep_left(GL0, Ws, ALs, I0, *, n_sweeps: int, fin: int):
+    """Iterate full-cell transfers to converge intermediate channels, then
+    one more cell to extract the FINAL-channel inflow CF."""
+    zero_fin = GL0[fin]
+    cur = dict(GL0)
+    cur[0] = I0
+    for _ in range(n_sweeps):
+        nxt = cur
+        for W, A in zip(Ws, ALs):
+            nxt = mpo_transfer_left(nxt, W, A, A)
+        nxt = _canon(GL0, nxt)
+        nxt[0] = I0
+        nxt[fin] = zero_fin
+        cur = nxt
+    fill = cur
+    for W, A in zip(Ws, ALs):
+        fill = mpo_transfer_left(fill, W, A, A)
+    fill = _canon(GL0, fill)
+    CF = fill[fin]
+    return cur, CF
+
+
+@partial(jax.jit, static_argnames=("n_sweeps",))
+def _presweep_right(GR0, Ws, ARs, I0, *, n_sweeps: int):
+    fin = max(GR0.keys())
+    zero_init = GR0[0]
+    cur = dict(GR0)
+    cur[fin] = I0
+    for _ in range(n_sweeps):
+        nxt = cur
+        for W, A in zip(reversed(Ws), reversed(ARs)):
+            nxt = mpo_transfer_right(nxt, W, A, A)
+        nxt = _canon(GR0, nxt)
+        nxt[fin] = I0
+        nxt[0] = zero_init
+        cur = nxt
+    fill = cur
+    for W, A in zip(reversed(Ws), reversed(ARs)):
+        fill = mpo_transfer_right(fill, W, A, A)
+    fill = _canon(GR0, fill)
+    CI = fill[0]
+    return cur, CI
 
 
 @partial(jax.jit, static_argnames=("packer",))
@@ -118,57 +184,70 @@ def _reg_right_op(vec, ARs, sig, I0, tr_sig, *, packer: Packer):
     return packer.pack(Y - TY + corr * I0)
 
 
+def _jit_fill_left(GL0, Ws, ALs, templates):
+    """Interior fill: GLs[x] for x=1..T-1 from the bond-0 environment."""
+    GLs = [GL0]
+    cur = GL0
+    for x in range(len(ALs) - 1):
+        cur = _canon(templates[x + 1], mpo_transfer_left(cur, Ws[x], ALs[x], ALs[x]))
+        GLs.append(cur)
+    return GLs
+
+
+_fill_left = jax.jit(_jit_fill_left)
+
+
+def _jit_fill_right(GR0, Ws, ARs, templates):
+    T = len(ARs)
+    GRs = [None] * T
+    GRs[T - 1] = GR0
+    cur = GR0
+    for x in reversed(range(1, T)):
+        cur = _canon(templates[x - 1], mpo_transfer_right(cur, Ws[x], ARs[x], ARs[x]))
+        GRs[x - 1] = cur
+    return tuple(GRs)
+
+
+_fill_right = jax.jit(_jit_fill_right)
+
+
 def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
                       gl_final0: Optional[SymTensor] = None
                       ) -> Tuple[List[Dict[int, SymTensor]], jnp.ndarray]:
     """Left environments GLs[x] (bond left of site x) and energy/unit cell."""
     T = psi.T
     assert H.T == T
-    ident = H.site.op("id")
     dtype = psi.ALs[0].dtype
-    I0 = bond_identity(psi.group, psi.ALs[0].spaces[0], dtype=dtype)
+    g = psi.group
+    I0 = bond_identity(g, psi.ALs[0].spaces[0], dtype=dtype)
+    fin = H.idx_final(0)
+    ALt = tuple(psi.ALs)
+    Wt = tuple(H.Ws)
 
+    templates = [_zero_env_left(g, psi.ALs[x].spaces[0], H.charges[x], dtype)
+                 for x in range(T)]
     n_sweeps = max(2, math.ceil(H.max_len / T) + 1)
-    GL0: Dict[int, SymTensor] = {0: I0}
-    for _ in range(n_sweeps):
-        cur = dict(GL0)
-        cur.pop(H.idx_final(0), None)  # FINAL handled by the linear solve
-        for x in range(T):
-            cur = mpo_transfer_left(cur, H.Ws[x], psi.ALs[x], psi.ALs[x], ident)
-        cur[0] = I0
-        cur.pop(H.idx_final(0), None)
-        GL0 = cur
-
-    # FINAL-channel inflow over one unit cell (start with FINAL = 0)
-    cur = dict(GL0)
-    for x in range(T):
-        cur = mpo_transfer_left(cur, H.Ws[x], psi.ALs[x], psi.ALs[x], ident)
-    CF = full_blocks(cur.get(H.idx_final(0), I0 * 0.0))
+    GL0, CF = _presweep_left(templates[0], Wt, ALt, I0,
+                             n_sweeps=n_sweeps, fin=fin)
 
     rho = rho_right(psi.Cs[T - 1])
     tr_rho = pair_envs(I0, rho)
     e = pair_envs(CF, rho) / tr_rho
 
     packer = Packer(CF)
-    ALt = tuple(psi.ALs)
     rhs = packer.pack(CF - e * I0)
 
     def mv(v):
         return _reg_left_op(v, ALt, rho, I0, tr_rho, packer=packer)
 
     x0 = packer.pack(gl_final0) if (
-        gl_final0 is not None and Packer(full_blocks(gl_final0)) == packer) else None
+        gl_final0 is not None and gl_final0.spaces == CF.spaces) else None
     y, _info = gmres(mv, rhs, x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
-    GL0[H.idx_final(0)] = packer.unpack(y)
+    GL0 = dict(GL0)
+    GL0[fin] = packer.unpack(y)
 
-    GLs: List[Dict[int, SymTensor]] = [
-        {a: full_blocks(t) for a, t in GL0.items()}]
-    cur = GLs[0]
-    for x in range(T - 1):
-        cur = mpo_transfer_left(cur, H.Ws[x], psi.ALs[x], psi.ALs[x], ident)
-        cur = {a: full_blocks(t) for a, t in cur.items()}
-        GLs.append(cur)
-    return GLs, e
+    GLs = _fill_left(GL0, Wt, ALt, templates)
+    return list(GLs), e
 
 
 def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
@@ -176,52 +255,38 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
                        ) -> Tuple[List[Dict[int, SymTensor]], jnp.ndarray]:
     """Right environments GRs[x] (bond right of site x) and energy/unit cell."""
     T = psi.T
-    ident = H.site.op("id")
     dtype = psi.ARs[0].dtype
-    I0 = bond_identity(psi.group, psi.ARs[T - 1].spaces[2], dtype=dtype)
-    fin0 = H.idx_final(0)
+    g = psi.group
+    I0 = bond_identity(g, psi.ARs[T - 1].spaces[2], dtype=dtype)
+    ARt = tuple(psi.ARs)
+    Wt = tuple(H.Ws)
 
+    # GRs[x] lives at the bond right of site x; its channel set is the bond
+    # left of site x+1
+    templates = [_zero_env_right(g, psi.ARs[x].spaces[2],
+                                 H.charges[(x + 1) % T], dtype)
+                 for x in range(T)]
     n_sweeps = max(2, math.ceil(H.max_len / T) + 1)
-    GR0: Dict[int, SymTensor] = {fin0: I0}
-    for _ in range(n_sweeps):
-        cur = dict(GR0)
-        cur.pop(0, None)  # INIT handled by the linear solve
-        for x in reversed(range(T)):
-            cur = mpo_transfer_right(cur, H.Ws[x], psi.ARs[x], psi.ARs[x], ident)
-        cur[fin0] = I0
-        cur.pop(0, None)
-        GR0 = cur
-
-    cur = dict(GR0)
-    for x in reversed(range(T)):
-        cur = mpo_transfer_right(cur, H.Ws[x], psi.ARs[x], psi.ARs[x], ident)
-    CI = full_blocks(cur.get(0, I0 * 0.0))
+    GR0, CI = _presweep_right(templates[T - 1], Wt, ARt, I0, n_sweeps=n_sweeps)
 
     sig = rho_left(psi.Cs[T - 1])
     tr_sig = pair_envs(sig, I0)
     e = pair_envs(sig, CI) / tr_sig
 
     packer = Packer(CI)
-    ARt = tuple(psi.ARs)
     rhs = packer.pack(CI - e * I0)
 
     def mv(v):
         return _reg_right_op(v, ARt, sig, I0, tr_sig, packer=packer)
 
     x0 = packer.pack(gr_init0) if (
-        gr_init0 is not None and Packer(full_blocks(gr_init0)) == packer) else None
+        gr_init0 is not None and gr_init0.spaces == CI.spaces) else None
     y, _info = gmres(mv, rhs, x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
+    GR0 = dict(GR0)
+    GR0[0] = packer.unpack(y)
 
-    GR_bound = dict(GR0)
-    GR_bound[0] = packer.unpack(y)
-    GRs: List[Optional[Dict[int, SymTensor]]] = [None] * T
-    GRs[T - 1] = {a: full_blocks(t) for a, t in GR_bound.items()}
-    cur = GRs[T - 1]
-    for x in reversed(range(1, T)):
-        cur = mpo_transfer_right(cur, H.Ws[x], psi.ARs[x], psi.ARs[x], ident)
-        cur = {a: full_blocks(t) for a, t in cur.items()}
-        GRs[x - 1] = cur
-    return GRs, e
+    GRs = _fill_right(GR0, Wt, ARt, templates)
+    return list(GRs), e
 
 
 class Environments:

@@ -61,6 +61,37 @@ def apply_H_C(GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
     return out if out is not None else C * 0.0
 
 
+def apply_H_AC2(GL: Dict[int, SymTensor], W0, W1, GR: Dict[int, SymTensor],
+                AC2: SymTensor) -> SymTensor:
+    """Effective two-site Hamiltonian: sum over FSM paths a -> c -> b of
+    GL[a] . W0[(a,c)] . W1[(c,b)] . AC2 . GR[b].  AC2 legs (vl, p0, p1, vr)."""
+    # group W1 transitions by middle channel for the path sum
+    by_mid: Dict[int, list] = {}
+    for (c, b), op1 in W1.items():
+        by_mid.setdefault(c, []).append((b, op1))
+    out: Optional[SymTensor] = None
+    for (a, c), op0 in W0.items():
+        X = GL.get(a)
+        if X is None or not X.blocks:
+            continue
+        for b, op1 in by_mid.get(c, ()):
+            R = GR.get(b)
+            if R is None or not R.blocks:
+                continue
+            Y = tensordot(X, AC2, axes=([1], [0]))    # (bra_l, p0, p1, r)
+            Y = tensordot(op0, Y, axes=([1], [1]))    # (q0, bra_l, p1, r)
+            Y = tensordot(op1, Y, axes=([1], [2]))    # (q1, q0, bra_l, r)
+            Y = tensordot(Y, R, axes=([3], [0]))      # (q1, q0, bra_l, bra_r)
+            Y = Y.transpose((2, 1, 0, 3))             # (bra_l, q0, q1, bra_r)
+            out = Y if out is None else out + Y
+    return out if out is not None else AC2 * 0.0
+
+
+@partial(jax.jit, static_argnames=("packer",))
+def _h_ac2_packed(vec, GL, W0, W1, GR, *, packer: Packer):
+    return packer.pack(apply_H_AC2(GL, W0, W1, GR, packer.unpack(vec)))
+
+
 @partial(jax.jit, static_argnames=("packer",))
 def _h_ac_packed(vec, GL, W, GR, *, packer: Packer):
     return packer.pack(apply_H_AC(GL, W, GR, packer.unpack(vec)))
@@ -71,6 +102,7 @@ def _h_c_packed(vec, GL, GR, *, packer: Packer):
     return packer.pack(apply_H_C(GL, GR, packer.unpack(vec)))
 
 
+@jax.jit
 def gauge_from_AC_C(AC: SymTensor, C_left: SymTensor, C_right: SymTensor):
     """Recover isometric (AL, AR) from the updated AC and bond matrices via
     the positive-QR polar trick: AL = Q(AC|2) Q(C_right|1)^dag and the LQ
@@ -83,6 +115,15 @@ def gauge_from_AC_C(AC: SymTensor, C_left: SymTensor, C_right: SymTensor):
     _, QC_l = tla.lq(C_left, 1)
     AR = tensordot(QC_l.conj(), QAC_r, axes=([0], [0]))  # (r_C, p, vr)
     return AL, AR
+
+
+@jax.jit
+def _gauge_site(AC: SymTensor, C_left: SymTensor, C_right: SymTensor):
+    """Gauge update + gauge-error norms for one site, fused in one program."""
+    AL, AR = gauge_from_AC_C(AC, C_left, C_right)
+    dl = (AC - absorb_bond_right(AL, C_right)).norm()
+    dr = (AC - absorb_bond_left(C_left, AR)).norm()
+    return AL, AR, dl, dr
 
 
 @dataclass
@@ -106,37 +147,42 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
     envs = Environments(psi, H, tol=max(tol * 1e-2, 1e-14), prev=envs)
     energy = float(jnp.real(envs.energy_per_site))
     converged = False
+    # block structures are fixed across iterations: build packers once
+    pk_acs = [Packer(full_blocks(psi.AC(x))) for x in range(T)]
+    pk_cs = [Packer(full_blocks(psi.Cs[x])) for x in range(T)]
     for it in range(maxiter):
         # dynamic inner tolerance: eigenproblems a bit tighter than the error
         inner_tol = max(min(1e-3, err * 1e-2), tol * 1e-2)
+        # rebuild packers if a rank-deficient QR shrank any bond space
+        if any(pk_acs[x].spaces != psi.AC(x).spaces for x in range(T)):
+            pk_acs = [Packer(full_blocks(psi.AC(x))) for x in range(T)]
+            pk_cs = [Packer(full_blocks(psi.Cs[x])) for x in range(T)]
         ACs_new: List[SymTensor] = []
         Cs_new: List[SymTensor] = []
         for x in range(T):
             GLx, Wx, GRx = envs.GLs[x], H.Ws[x], envs.GRs[x]
             GLx1 = envs.GLs[(x + 1) % T]
+            pk_ac, pk_c = pk_acs[x], pk_cs[x]
 
-            AC0 = full_blocks(psi.AC(x))
-            pk_ac = Packer(AC0)
             _, v_ac, _ = lanczos_ground(
                 lambda v: _h_ac_packed(v, GLx, Wx, GRx, packer=pk_ac),
-                pk_ac.pack(AC0), krylov_dim=krylov_dim, tol=inner_tol)
+                pk_ac.pack(psi.AC(x)), krylov_dim=krylov_dim, tol=inner_tol,
+                max_restarts=20)
             ACs_new.append(pk_ac.unpack(v_ac))
 
-            C0 = full_blocks(psi.Cs[x])
-            pk_c = Packer(C0)
             _, v_c, _ = lanczos_ground(
                 lambda v: _h_c_packed(v, GLx1, GRx, packer=pk_c),
-                pk_c.pack(C0), krylov_dim=krylov_dim, tol=inner_tol)
+                pk_c.pack(psi.Cs[x]), krylov_dim=krylov_dim, tol=inner_tol,
+                max_restarts=20)
             Cs_new.append(pk_c.unpack(v_c))
 
         ALs_new, ARs_new = [], []
         err = 0.0
         for x in range(T):
-            AL, AR = gauge_from_AC_C(ACs_new[x], Cs_new[(x - 1) % T], Cs_new[x])
+            AL, AR, dl, dr = _gauge_site(ACs_new[x], Cs_new[(x - 1) % T],
+                                         Cs_new[x])
             ALs_new.append(AL)
             ARs_new.append(AR)
-            dl = (ACs_new[x] - absorb_bond_right(AL, Cs_new[x])).norm()
-            dr = (ACs_new[x] - absorb_bond_left(Cs_new[(x - 1) % T], AR)).norm()
             err = max(err, float(dl), float(dr))
 
         psi = UniformMPS(ALs_new, ARs_new, Cs_new)

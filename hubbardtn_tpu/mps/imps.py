@@ -25,6 +25,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,20 @@ def normalize_tensor(T: SymTensor) -> SymTensor:
 # orthonormalization sweeps
 # ----------------------------------------------------------------------
 
+@jax.jit
+def _qr_step(C: SymTensor, A: SymTensor):
+    """One left-gauging move: QR of (C A).  Jitted; cache keyed on structure."""
+    Q, R = tla.qr(absorb_bond_left(C, A), 2)
+    return Q, R * (1.0 / R.norm())
+
+
+@jax.jit
+def _lq_step(A: SymTensor, C: SymTensor):
+    """One right-gauging move: LQ of (A C)."""
+    L, Q = tla.lq(absorb_bond_right(A, C), 1)
+    return L * (1.0 / L.norm()), Q
+
+
 def left_orthonormalize(As: Sequence[SymTensor], tol: float = 1e-12,
                         maxiter: int = 200) -> Tuple[List[SymTensor], SymTensor]:
     """Find AL[x] and C with  C_prev[x-1] A[x] = AL[x] C[x]  (unit cell
@@ -73,13 +88,9 @@ def left_orthonormalize(As: Sequence[SymTensor], tol: float = 1e-12,
     last = None
     for _ in range(maxiter):
         ALs = []
-        Cs = []
         for x in range(T):
-            CA = absorb_bond_left(C, As[x])
-            AL, C = tla.qr(CA, 2)
-            C = C * (1.0 / C.norm())
+            AL, C = _qr_step(C, As[x])
             ALs.append(AL)
-            Cs.append(C)
         # convergence: boundary C stable (up to block table changes)
         if last is not None and last.structure() == C.structure():
             diff = (C - last).norm()
@@ -101,9 +112,7 @@ def right_orthonormalize(As: Sequence[SymTensor], tol: float = 1e-12,
     for _ in range(maxiter):
         ARs = [None] * T
         for x in reversed(range(T)):
-            AC = absorb_bond_right(As[x], C)
-            C, AR = tla.lq(AC, 1)
-            C = C * (1.0 / C.norm())
+            C, AR = _lq_step(As[x], C)
             ARs[x] = AR
         if last is not None and last.structure() == C.structure():
             diff = (C - last).norm()

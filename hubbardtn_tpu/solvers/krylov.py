@@ -101,41 +101,49 @@ def lanczos_ground(matvec: Callable[[jnp.ndarray], jnp.ndarray],
                    max_restarts: int = 100) -> Tuple[float, jnp.ndarray, dict]:
     """Smallest eigenpair by restarted Lanczos with full reorthogonalization.
 
-    The recurrence runs on flat device arrays; the small tridiagonal problem
-    is solved on the host each restart."""
+    The recurrence keeps everything on the device as 0-d scalars / a fixed
+    (k+1, n) basis matrix and synchronizes with the host only once per
+    restart (for the small tridiagonal eigenproblem) — per-step host syncs
+    would otherwise dominate the matvec cost."""
+    n = v0.shape[0]
     v = v0 / jnp.linalg.norm(v0)
     theta = None
     iters = 0
     resid = np.inf
     for _ in range(max_restarts):
-        V = [v]
-        alphas: List[float] = []
-        betas: List[float] = []
+        V = jnp.zeros((krylov_dim + 1, n), dtype=v.dtype).at[0].set(v)
+        a_dev = []
+        b_dev = []
         for j in range(krylov_dim):
             w = matvec(V[j])
             iters += 1
-            a = jnp.vdot(V[j], w).real
-            w = w - a * V[j]
-            if j > 0:
-                w = w - betas[j - 1] * V[j - 1]
-            # full reorthogonalization in one fused step
-            Vm = jnp.stack(V)
-            coeff = jnp.conj(Vm) @ w
-            w = w - Vm.T @ coeff
+            a_dev.append(jnp.vdot(V[j], w).real)
+            # full reorthogonalization against all basis vectors (zero rows
+            # beyond j contribute nothing; fixed shapes keep the jit cache hot)
+            coeff = jnp.conj(V) @ w
+            w = w - V.T @ coeff
+            coeff2 = jnp.conj(V) @ w
+            w = w - V.T @ coeff2
             b = jnp.linalg.norm(w)
-            alphas.append(float(a))
-            betas.append(float(b))
-            if float(b) < 1e-14 or j == krylov_dim - 1:
+            b_dev.append(b)
+            if j < krylov_dim - 1:
+                V = V.at[j + 1].set(jnp.where(b > 1e-300, w / b, 0.0))
+        alphas = np.asarray(jnp.stack(a_dev))        # single host sync
+        betas = np.asarray(jnp.stack(b_dev))
+        # effective Krylov size: stop at the first (near-)breakdown
+        k = krylov_dim
+        for j in range(krylov_dim - 1):
+            if betas[j] < 1e-14:
+                k = j + 1
                 break
-            V.append(w / b)
-        k = len(alphas)
-        Tm = np.diag(np.asarray(alphas))
+        Tm = np.diag(alphas[:k])
         for j in range(k - 1):
             Tm[j, j + 1] = Tm[j + 1, j] = betas[j]
         evals, evecs = np.linalg.eigh(Tm)
         theta = float(evals[0])
-        c = jnp.asarray(evecs[:, 0], dtype=v.dtype)
-        v = jnp.stack(V[:k]).T @ c
+        c = jnp.zeros((krylov_dim + 1,), dtype=v.dtype).at[:k].set(
+            jnp.asarray(evecs[:, 0]))
+        v = V.T @ c
         v = v / jnp.linalg.norm(v)
         resid = abs(betas[k - 1] * float(np.abs(evecs[k - 1, 0])))
         if resid < tol:
@@ -154,6 +162,7 @@ def gmres(matvec: Callable[[jnp.ndarray], jnp.ndarray], b: jnp.ndarray,
     bnorm = float(jnp.linalg.norm(b))
     if bnorm == 0.0:
         return jnp.zeros_like(b), {"resid": 0.0, "iters": 0}
+    n = b.shape[0]
     x = x0 if x0 is not None else jnp.zeros_like(b)
     iters = 0
     res = np.inf
@@ -164,29 +173,41 @@ def gmres(matvec: Callable[[jnp.ndarray], jnp.ndarray], b: jnp.ndarray,
         res = beta / bnorm
         if res < tol:
             break
-        V = [r / beta]
-        H = np.zeros((krylov_dim + 1, krylov_dim), dtype=np.complex128)
-        k = 0
+        V = jnp.zeros((krylov_dim + 1, n), dtype=b.dtype).at[0].set(r / beta)
+        cols = []
+        norms = []
         for j in range(krylov_dim):
             w = matvec(V[j])
             iters += 1
-            Vm = jnp.stack(V)
-            h = np.asarray(jnp.conj(Vm) @ w)
-            w = w - Vm.T @ jnp.asarray(h, dtype=w.dtype)
-            H[: j + 1, j] = h
-            hb = float(jnp.linalg.norm(w))
-            H[j + 1, j] = hb
-            k = j + 1
-            if hb < 1e-14:
+            h = jnp.conj(V) @ w                 # full-width projection
+            w = w - V.T @ h
+            h2 = jnp.conj(V) @ w
+            w = w - V.T @ h2
+            hb = jnp.linalg.norm(w)
+            cols.append(h + h2)
+            norms.append(hb)
+            if j < krylov_dim - 1:
+                V = V.at[j + 1].set(jnp.where(hb > 1e-300, w / hb, 0.0))
+        Hc = np.asarray(jnp.stack(cols))        # (k, k+1) single host sync
+        hn = np.asarray(jnp.stack(norms))
+        k = krylov_dim
+        for j in range(krylov_dim - 1):
+            if hn[j] < 1e-14:
+                k = j + 1
                 break
-            V.append(w / hb)
+        H = np.zeros((k + 1, k), dtype=np.complex128)
+        for j in range(k):
+            H[: j + 1, j] = Hc[j, : j + 1]
+            H[j + 1, j] = hn[j]
         e1 = np.zeros(k + 1, dtype=np.complex128)
         e1[0] = beta
-        y, *_ = np.linalg.lstsq(H[: k + 1, :k], e1, rcond=None)
-        yv = jnp.asarray(np.real(y) if not np.iscomplexobj(np.asarray(V[0])) else y,
-                         dtype=V[0].dtype)
-        x = x + jnp.stack(V[:k]).T @ yv
-        res = float(np.linalg.norm(H[: k + 1, :k] @ y - e1)) / bnorm
+        y, *_ = np.linalg.lstsq(H, e1, rcond=None)
+        yfull = np.zeros(krylov_dim + 1, dtype=np.complex128)
+        yfull[:k] = y
+        if not np.iscomplexobj(np.zeros((), dtype=b.dtype)):
+            yfull = np.real(yfull)
+        x = x + V.T @ jnp.asarray(yfull, dtype=b.dtype)
+        res = float(np.linalg.norm(H @ y - e1)) / bnorm
         if res < tol:
             break
     return x, {"resid": float(res), "iters": iters}

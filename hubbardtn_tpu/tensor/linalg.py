@@ -232,10 +232,12 @@ class Truncation:
         src/HubbardFunctions.jl:1010).
     max_dim: keep at most this many states in total, largest first
         (reference ``truncdim``, :1363-1365).
+    rel_cutoff: discard singular values < rel_cutoff * s_max.
     """
 
     cutoff: float = 0.0
     max_dim: Optional[int] = None
+    rel_cutoff: float = 0.0
 
     def keep_counts(self, ss: Dict[Sector, np.ndarray]) -> Dict[Sector, int]:
         entries = []  # (value, sector, index)
@@ -246,7 +248,10 @@ class Truncation:
         entries.sort(key=lambda e: -e[0])
         if self.max_dim is not None:
             entries = entries[: self.max_dim]
-        kept = [e for e in entries if e[0] >= self.cutoff]
+        cut = self.cutoff
+        if entries and self.rel_cutoff > 0.0:
+            cut = max(cut, self.rel_cutoff * entries[0][0])
+        kept = [e for e in entries if e[0] >= cut]
         if not kept and entries:
             kept = entries[:1]  # never return an empty bond
         counts: Dict[Sector, int] = defaultdict(int)
@@ -281,6 +286,77 @@ def svd_truncate(T: SymTensor, nrows: int, trunc: Truncation):
     U = _left_factor(T, nrows, rowinfo, Us_t, bond_space)
     Vh = _right_factor(T, nrows, colinfo, Vhs_t, bond_space)
     return U, ss_t, Vh, bond_space, float(np.sqrt(err_sq))
+
+
+def left_null(T: SymTensor, nrows: int) -> SymTensor:
+    """Orthonormal complement of the column space of the matricization:
+    returns N with legs (rows..., null_bond OUT), N^dag T = 0, N^dag N = I.
+    Sectors absent from T's blocks contribute their full row space."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Ns, bond = {}, {}
+    for r, m_dim in rowinfo.dims.items():
+        A = mats.get(r)
+        if A is None:
+            N = jnp.eye(m_dim, dtype=T.dtype)
+        else:
+            q = jnp.linalg.qr(A, mode="complete")[0]
+            N = q[:, A.shape[1]:]
+        if N.shape[1] == 0:
+            continue
+        Ns[r] = N
+        bond[r] = N.shape[1]
+    bond_space = Space(T.group, bond)
+    return _left_factor(T, nrows, rowinfo, Ns, bond_space)
+
+
+def right_null(T: SymTensor, nrows: int) -> SymTensor:
+    """Orthonormal complement of the row space of the matricization:
+    returns N with legs (null_bond IN, cols...), T N^dag = 0, N N^dag = I."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Ns, bond = {}, {}
+    for r, n_dim in colinfo.dims.items():
+        A = mats.get(r)
+        if A is None:
+            N = jnp.eye(n_dim, dtype=T.dtype)
+        else:
+            q = jnp.linalg.qr(jnp.conj(A.T), mode="complete")[0]
+            N = jnp.conj(q[:, A.shape[0]:].T)
+        if N.shape[0] == 0:
+            continue
+        Ns[r] = N
+        bond[r] = N.shape[0]
+    bond_space = Space(T.group, bond)
+    return _right_factor(T, nrows, colinfo, Ns, bond_space)
+
+
+def pad_leg(T: SymTensor, leg: int, new_space: Space,
+            offsets: Optional[Dict[Sector, int]] = None) -> SymTensor:
+    """Zero-pad one leg into a larger space; old data sits at the per-sector
+    ``offsets`` (default 0).  Sectors of T absent from new_space must not
+    occur."""
+    offsets = offsets or {}
+    blocks = {}
+    for key, b in T.blocks.items():
+        q = key[leg]
+        d_new = new_space.dim_of(q)
+        d_old = b.shape[leg]
+        off = offsets.get(q, 0)
+        pad = [(0, 0)] * b.ndim
+        pad[leg] = (off, d_new - d_old - off)
+        blocks[key] = jnp.pad(b, pad)
+    spaces = list(T.spaces)
+    spaces[leg] = new_space
+    return SymTensor(T.group, spaces, T.arrows, blocks, T.charge, T.dtype)
+
+
+def concat_leg(A: SymTensor, B: SymTensor, leg: int) -> SymTensor:
+    """Direct sum along one leg (A's states first, then B's); all other legs
+    must carry identical spaces."""
+    new_space = A.spaces[leg].oplus(B.spaces[leg])
+    offB = {q: A.spaces[leg].dim_of(q) for q, _ in B.spaces[leg]}
+    Ap = pad_leg(A, leg, new_space)
+    Bp = pad_leg(B, leg, new_space, offB)
+    return Ap + Bp
 
 
 def diag_tensor(group, bond_space: Space, values: Dict[Sector, jnp.ndarray], dtype=None) -> SymTensor:

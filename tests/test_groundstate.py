@@ -8,6 +8,7 @@ infinite-chi limit)."""
 import numpy as np
 import pytest
 
+from hubbardtn_tpu.algorithms.groundstate import compute_groundstate
 from hubbardtn_tpu.algorithms.vumps import vumps
 from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
 from hubbardtn_tpu.mps.imps import initialize_mps
@@ -15,23 +16,21 @@ from hubbardtn_tpu.mps.imps import initialize_mps
 GOLDEN_OB = {0.0: -1.2696767, 1.0: -1.037173, 2.0: -0.84163698}
 
 
-def solve_ob(u: float, bond_dim: int = 6, tol: float = 1e-5, maxiter: int = 60):
-    sim = OBSim(t=(1.0,), u=(u,), P=1, Q=1, bond_dim=bond_dim)
-    H = hamiltonian(sim)
-    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=bond_dim,
-                         seed=1)
-    return vumps(psi, H, tol=tol, maxiter=maxiter)
-
-
 def test_one_band_free_fermions():
-    res = solve_ob(0.0)
-    # golden regression value (chi-limited) and analytic value
+    """Fixed-space VUMPS at small bond dimension reaches the golden value."""
+    sim = OBSim(t=(1.0,), u=(0.0,), P=1, Q=1)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=6, seed=1)
+    res = vumps(psi, H, tol=1e-5, maxiter=60)
     assert abs(res.energy - GOLDEN_OB[0.0]) < 1e-2
     assert abs(res.energy - (-4 / np.pi)) < 5e-3
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("u", [1.0, 2.0])
-def test_one_band_interacting(u):
-    res = solve_ob(u)
-    assert abs(res.energy - GOLDEN_OB[u]) < 1e-2
+@pytest.mark.parametrize("u", [0.0, 1.0, 2.0])
+def test_one_band_golden(u):
+    """Full driver (reference compute_groundstate analog, svalue=2.0)."""
+    sim = OBSim(t=(1.0,), u=(u,), P=1, Q=1, svalue=2.0, bond_dim=6)
+    out = compute_groundstate(sim, tol=1e-5, max_rounds=2, round_iters=25,
+                              final_iters=60)
+    assert abs(out["energy"] - GOLDEN_OB[u]) < 1e-2

@@ -67,6 +67,9 @@ def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
             psi = psi_t
             break
         grow = max(4, int(0.5 * dims / psi.T))
+        if rnd == max_rounds - 1:
+            psi = psi_t  # budget exhausted: polish the truncation-stable state
+            break
         psi = expand_bonds(res.psi, H, res.envs,
                            Truncation(rel_cutoff=1e-8, max_dim=grow))
         res = None  # environments/jit structures are stale after expansion
@@ -83,16 +86,24 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                         seed: int = 1, round_iters: int = 40,
                         final_iters: int = 200) -> dict:
     """Reference-compatible entry (:993-1030): returns a dict with the
-    ground state, environments, Hamiltonian, and convergence error."""
-    from ..models.hubbard import hamiltonian
+    ground state, environments, Hamiltonian, and convergence error.  For a
+    grand-canonical model with a target filling, runs the mu search
+    (:1032-1126)."""
+    from ..models.hubbard import OBCSim, hamiltonian
+    if isinstance(sim, OBCSim) and sim.f is not None:
+        return _mu_search(sim, tol=tol, verbosity=verbosity,
+                          max_rounds=max_rounds, max_bond=max_bond, seed=seed,
+                          round_iters=round_iters, final_iters=final_iters)
     H = hamiltonian(sim)
+    cells = 2 if sim.T <= 2 else 1
     psi = initialize_mps(H.site.group, H.site.space, sim.T,
-                         bond_dim=getattr(sim, "bond_dim", 50), seed=seed)
+                         bond_dim=getattr(sim, "bond_dim", 50), seed=seed,
+                         cells=cells)
     res = find_groundstate(psi, H, svalue=getattr(sim, "svalue", 2.0),
                            tol=tol, max_rounds=max_rounds, max_bond=max_bond,
                            round_iters=round_iters, final_iters=final_iters,
                            verbosity=verbosity)
-    return {
+    out = {
         "groundstate": res.psi,
         "environments": res.envs,
         "ham": H,
@@ -100,3 +111,89 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
         "energy": res.energy,
         "config": sim,
     }
+    if isinstance(sim, OBCSim):
+        out["mu"] = sim.mu
+    return out
+
+
+def _mean_filling(dictionary: dict) -> float:
+    """Mean <n> of a grand-canonical ground state (reference density_state
+    scalar method, :1528-1542)."""
+    from ..observables import density_state
+    psi = dictionary["groundstate"]
+    site = dictionary["ham"].site
+    return float(np.mean(density_state(psi, site)))
+
+
+def _mu_search(sim, tol: float, verbosity: int, max_rounds: int,
+               max_bond: Optional[int], seed: int, round_iters: int,
+               final_iters: int) -> dict:
+    """Bracket-expansion + bisection on the chemical potential until the
+    mean filling hits sim.f (reference :1055-1126)."""
+
+    def solve(mu: float) -> dict:
+        return compute_groundstate(sim.with_mu(mu), tol=tol,
+                                   verbosity=max(0, verbosity - 1),
+                                   max_rounds=max_rounds, max_bond=max_bond,
+                                   seed=seed, round_iters=round_iters,
+                                   final_iters=final_iters)
+
+    f = sim.f
+    tol_mu, maxiter_mu = sim.tol_mu, sim.maxiter_mu
+    step = sim.step_size
+    lower, upper = sim.lower_mu, sim.upper_mu
+    mid = 0.5 * (lower + upper)
+    d_l = solve(lower)
+    d_u = d_l if upper == lower else solve(upper)
+    result = None
+    i = 1
+    # bracket expansion (:1061-1098)
+    while i <= maxiter_mu:
+        n_u = _mean_filling(d_u)
+        n_l = _mean_filling(d_l)
+        if abs(n_u - f) < tol_mu:
+            result, mid = d_u, upper
+            break
+        if abs(n_l - f) < tol_mu:
+            result, mid = d_l, lower
+            break
+        if n_u < f:
+            lower = upper
+            d_l = d_u
+            upper += step
+            d_u = solve(upper)
+        elif n_l > f:
+            upper = lower
+            d_u = d_l
+            lower -= step
+            d_l = solve(lower)
+        else:
+            break
+        if sim.verbosity_mu > 0:
+            print(f"[mu] bracket iter {i}: [{lower}, {upper}]")
+        i += 1
+    if i > maxiter_mu:
+        print(f"Warning: chemical potential outside +-{(i - 1) * step}; "
+              "increase step_size.")
+    # bisection (:1100-1111)
+    if result is None:
+        dictionary = d_u
+        while i <= maxiter_mu:
+            mid = 0.5 * (lower + upper)
+            dictionary = solve(mid)
+            n = _mean_filling(dictionary)
+            if abs(n - f) < tol_mu:
+                break
+            if n < f:
+                lower = mid
+            else:
+                upper = mid
+            if sim.verbosity_mu > 0:
+                print(f"[mu] bisect iter {i}: [{lower}, {upper}]")
+            i += 1
+        if i > maxiter_mu:
+            print(f"Warning: mu in [{lower}, {upper}] did not converge to "
+                  "tol_mu; increase maxiter_mu.")
+        result = dictionary
+    result["mu"] = mid
+    return result

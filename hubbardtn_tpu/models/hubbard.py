@@ -22,6 +22,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import numpy as _np
+
 from ..mpo import terms as tm
 from ..mpo.fsm import MPOHamiltonian, mpo_from_terms
 from ..ops.fermions import Term
@@ -75,6 +77,63 @@ class OBSim(Simulation):
         return "OB"
 
 
+@dataclass(frozen=True)
+class OBCSim(Simulation):
+    """One-band grand-canonical Hubbard model (reference OBC_Sim, :152-177):
+    the particle number is set by a chemical potential ``mu``, or found
+    automatically for a target filling ``f`` (exactly one of the two is set).
+    Unit cell T = 1; symmetry fZ2 x U1(2Sz) (no particle-number U(1))."""
+
+    t: Tuple[float, ...]
+    u: Tuple[float, ...]
+    mu: Optional[float] = None
+    f: Optional[float] = None
+    svalue: float = 2.0
+    bond_dim: int = 50
+    period: int = 0
+    J: Tuple[float, ...] = ()
+    U13: Tuple[float, ...] = ()
+    spin: bool = False
+    JMs: Tuple[float, float] = (0.0, 0.0)
+    # mu-search knobs (reference kwargs, :1047-1053)
+    tol_mu: float = 1e-8
+    maxiter_mu: int = 20
+    step_size: float = 1.0
+    lower_mu: float = 0.0
+    upper_mu: float = 0.0
+    verbosity_mu: int = 0
+
+    def __post_init__(self):
+        object.__setattr__(self, "t", tuple(float(x) for x in self.t))
+        object.__setattr__(self, "u", tuple(float(x) for x in self.u))
+        object.__setattr__(self, "J", tuple(float(x) for x in self.J))
+        object.__setattr__(self, "U13", tuple(float(x) for x in self.U13))
+        if self.spin:
+            raise NotImplementedError("Spin not implemented.")  # :154
+        if (self.mu is None) == (self.f is None):
+            raise ValueError("set exactly one of mu / f")
+        if self.f is not None and not (0 < self.f < 2):
+            raise ValueError("Filling should be between 0 and 2.")
+
+    @property
+    def T(self) -> int:
+        return 1
+
+    def site(self) -> Site:
+        return grand_site()
+
+    def with_mu(self, mu: float) -> "OBCSim":
+        """The fixed-mu helper used inside the mu search (OBC_Sim2 analog)."""
+        kw = {k: getattr(self, k) for k in (
+            "t", "u", "svalue", "bond_dim", "period", "J", "U13", "spin",
+            "JMs", "tol_mu", "maxiter_mu", "step_size", "lower_mu",
+            "upper_mu", "verbosity_mu")}
+        return OBCSim(mu=mu, f=None, **kw)
+
+    def name(self) -> str:
+        return "OBC"
+
+
 def one_band_terms(sim: OBSim) -> List[Term]:
     """Term list for the one-band Hamiltonian (reference :386-472)."""
     T = sim.T
@@ -107,8 +166,209 @@ def one_band_terms(sim: OBSim) -> List[Term]:
     return out
 
 
+@dataclass(frozen=True)
+class MBSim(Simulation):
+    """B-band fixed-filling Hubbard model (reference MB_Sim, :117-135).
+
+    Matrix conventions follow the reference: ``t``/``u``/``J`` are
+    B x (B*(range+1)) with the on-site block first, then one block per
+    inter-site distance; ``U13`` is the on-site B x B correlated-hopping
+    matrix.  The diagonal of the on-site t block is the per-band chemical
+    potential; the diagonal of the on-site u block is the on-band Hubbard U.
+
+    Four-index interactions use *chemists' notation*: ``U112``/``U1111`` map
+    tuples (i,j,k,l) of 1-based flattened band+distance indices (index m
+    means band (m-1)%B at cell-site offset (m-1)//B) to W values entering as
+    (1/2) W sum_st c†_is c†_jt c_kt c_ls;  ``U13_IS`` is a (B,B,4) array per
+    distance with the reference's orientation order (:708-711).
+    """
+
+    t: tuple
+    u: tuple
+    J: tuple
+    U13: tuple = ()
+    P: int = 1
+    Q: int = 1
+    svalue: float = 2.0
+    bond_dim: int = 50
+    spin: bool = False
+    U112: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = ()
+    U1111: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = ()
+    U13_IS: tuple = ()
+    code: str = ""
+
+    def __post_init__(self):
+        def freeze(m):
+            arr = _np.asarray(m, dtype=float)
+            return tuple(map(tuple, arr)) if arr.ndim == 2 else tuple(arr)
+        object.__setattr__(self, "t", freeze(self.t))
+        object.__setattr__(self, "u", freeze(self.u))
+        object.__setattr__(self, "J", freeze(self.J))
+        if len(self.U13):
+            object.__setattr__(self, "U13", freeze(self.U13))
+        if isinstance(self.U112, dict):
+            object.__setattr__(self, "U112", tuple(sorted(self.U112.items())))
+        if isinstance(self.U1111, dict):
+            object.__setattr__(self, "U1111", tuple(sorted(self.U1111.items())))
+        if self.U13_IS is not None and len(self.U13_IS):
+            arr = _np.asarray(self.U13_IS, dtype=float)
+            object.__setattr__(self, "U13_IS",
+                               tuple(map(tuple, arr.reshape(arr.shape[0], -1))))
+
+    @property
+    def bands(self) -> int:
+        return len(self.t)
+
+    @property
+    def T(self) -> int:
+        """Chain unit cell: T cell-sites x B bands, band-major."""
+        return unit_cell(self.P, self.Q) * self.bands
+
+    def site(self) -> Site:
+        return canonical_site(self.P, self.Q)
+
+    def name(self) -> str:
+        return "MB"
+
+
+@dataclass(frozen=True)
+class MBCSim(Simulation):
+    """B-band grand-canonical Hubbard model (reference MBC_Sim, :214-238).
+    The diagonal of the on-site t block acts as per-band chemical potential;
+    unit cell is one lattice site (T = B chain sites)."""
+
+    t: tuple
+    u: tuple
+    J: tuple
+    U13: tuple = ()
+    svalue: float = 2.0
+    bond_dim: int = 50
+    spin: bool = False
+    U112: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = ()
+    U1111: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = ()
+    U13_IS: tuple = ()
+    code: str = ""
+
+    __post_init__ = MBSim.__post_init__
+
+    @property
+    def bands(self) -> int:
+        return len(self.t)
+
+    @property
+    def T(self) -> int:
+        return self.bands
+
+    def site(self) -> Site:
+        if self.spin:
+            raise NotImplementedError("Spin not implemented.")  # :216
+        return grand_site()
+
+    def name(self) -> str:
+        return "MBC"
+
+
+def multi_band_terms(sim) -> List[Term]:
+    """Term list for the B-band Hamiltonian (reference :811-910)."""
+    B = sim.bands
+    Tc = sim.T // B                        # unit cell in lattice sites
+    t = _np.asarray(sim.t)
+    u = _np.asarray(sim.u)
+    J = _np.asarray(sim.J)
+    for name, m in (("t", t), ("u", u), ("J", J)):
+        if m.shape[0] != B or m.shape[1] % B:
+            raise ValueError(f"{name} must be B x (B*(range+1))")
+    U13_OS = _np.asarray(sim.U13) if sim.U13 else _np.zeros((B, B))
+    U13_IS = (_np.asarray(sim.U13_IS).reshape(B, -1, 4)
+              if sim.U13_IS else _np.zeros((B, 0, 4)))
+
+    def pos(s: int, band: int, dist: int = 0) -> int:
+        return (s + dist) * B + band
+
+    t_OS = t[:, :B]
+    mu = _np.diag(t_OS).copy()
+    u_OS = u[:, :B].copy()
+    u_OB = _np.diag(u_OS).copy()
+    _np.fill_diagonal(u_OS, 0.0)
+    J_OS = J[:, :B]
+
+    out: List[Term] = []
+    for s in range(Tc):
+        for i in range(B):
+            if u_OB[i]:
+                out += tm.double_occupancy(pos(s, i), u_OB[i])
+            if mu[i]:
+                out += tm.number(pos(s, i), -mu[i])
+        # on-site interband hopping (ordered pairs, reference OS_Hopping)
+        for bi in range(B):
+            for bf in range(B):
+                if bi != bf and t_OS[bi, bf]:
+                    out += tm.cdc(pos(s, bf), pos(s, bi), -t_OS[bi, bf])
+        # on-site direct (symmetrized lower triangle, reference Direct_OS)
+        for bi in range(B):
+            for bf in range(bi):
+                Uav = 0.5 * (u_OS[bi, bf] + u_OS[bf, bi])
+                if Uav:
+                    out += tm.density_density(pos(s, bi), pos(s, bf), Uav)
+        # on-site exchange and U13 (reference Exchange_OS, Uijjj_OS)
+        for bi in range(B):
+            for bf in range(bi):
+                Jav = 0.5 * (J_OS[bi, bf] + J_OS[bf, bi])
+                if Jav:
+                    out += tm.exchange(pos(s, bi), pos(s, bf), Jav)
+        for bi in range(B):
+            for bf in range(B):
+                if bi != bf and U13_OS[bi, bf]:
+                    out += tm.correlated_hopping(pos(s, bi), pos(s, bf),
+                                                 U13_OS[bi, bf])
+        # inter-site blocks per distance
+        for r in range(1, t.shape[1] // B):
+            tr = t[:, r * B:(r + 1) * B]
+            for bi in range(B):
+                for bf in range(B):
+                    if tr[bi, bf]:
+                        out += tm.hopping(pos(s, bf, r), pos(s, bi),
+                                          -tr[bi, bf])
+        for r in range(1, u.shape[1] // B):
+            Vr = u[:, r * B:(r + 1) * B]
+            for bi in range(B):
+                for bf in range(B):
+                    if Vr[bi, bf]:
+                        out += tm.density_density(pos(s, bi), pos(s, bf, r),
+                                                  Vr[bi, bf])
+        for r in range(1, J.shape[1] // B):
+            Jr = J[:, r * B:(r + 1) * B]
+            for bi in range(B):
+                for bf in range(B):
+                    if Jr[bi, bf]:
+                        out += tm.exchange(pos(s, bi), pos(s, bf, r),
+                                           Jr[bi, bf])
+        for r in range(1, U13_IS.shape[1] // B + 1):
+            Xr = U13_IS[:, (r - 1) * B: r * B, :]
+            for bi in range(B):
+                for bf in range(B):
+                    a, b = pos(s, bi), pos(s, bf, r)
+                    out += tm.u13_pair(a, b, Xr[bi, bf, 0], Xr[bi, bf, 2])
+                    out += tm.u13_pair(b, a, Xr[bi, bf, 1], Xr[bi, bf, 3])
+        # general four-index interactions (chemists' tuples, flattened index)
+        for key, W in tuple(sim.U112) + tuple(sim.U1111):
+            if min(key) > B:
+                raise ValueError(
+                    "at least one index per tuple must be at cell-site 0")
+            chain_key = tuple(m - 1 + s * B for m in key)
+            out += tm.quartic_tuple(chain_key, W)
+    return out
+
+
 def hamiltonian(sim) -> MPOHamiltonian:
     """Compile a simulation's Hamiltonian to an FSM MPO."""
     if isinstance(sim, OBSim):
         return mpo_from_terms(sim.site(), sim.T, one_band_terms(sim))
+    if isinstance(sim, OBCSim):
+        if sim.mu is None:
+            raise ValueError("OBCSim with target filling: use the mu search "
+                             "(compute_groundstate), not hamiltonian()")
+        return mpo_from_terms(sim.site(), sim.T, one_band_terms(sim))
+    if isinstance(sim, (MBSim, MBCSim)):
+        return mpo_from_terms(sim.site(), sim.T, multi_band_terms(sim))
     raise TypeError(f"unsupported simulation type {type(sim)!r}")

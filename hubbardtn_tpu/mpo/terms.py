@@ -75,6 +75,21 @@ def exchange(a: int, b: int, J: float) -> List[Term]:
     return out
 
 
+def u13_pair(a: int, b: int, X_abbb: float, X_babb: float) -> List[Term]:
+    """Three-equal-index terms with independent couplings for the two
+    Hermitian pairs: X_abbb = W_abbb (= conj W_bbba) and X_babb = W_babb
+    (= conj W_bbab).  Used for inter-site U13 where the four orientations
+    are independent (reference Uijjj_IS BxBx4 array, :703-730)."""
+    out: List[Term] = []
+    if X_abbb != 0.0:
+        out += quartic(a, b, b, b, 0.5 * X_abbb)
+        out += quartic(b, b, b, a, 0.5 * X_abbb)
+    if X_babb != 0.0:
+        out += quartic(b, a, b, b, 0.5 * X_babb)
+        out += quartic(b, b, a, b, 0.5 * X_babb)
+    return out
+
+
 def correlated_hopping(a: int, b: int, X: float) -> List[Term]:
     """U13 coupling X = W_abbb (= W_babb = W_bbab = W_bbba) for the ordered
     pair (a,b): the four equal chemists' tuples with three b's and one a.

@@ -1,0 +1,34 @@
+"""hubbardtn_tpu: TPU-native multi-band Hubbard iMPS framework.
+
+A from-scratch JAX/XLA implementation with the capabilities of
+DaanVrancken/HubbardTN (reference mounted at /root/reference): abelian
+symmetric block tensors, FSM MPO compilation with Jordan-Wigner fermion
+handling, VUMPS/bond-expansion ground states, quasiparticle excitations,
+grand-canonical mu search, observables, caching, and serialization.
+
+Public API mirrors the reference's exports
+(/root/reference/src/HubbardFunctions.jl:11-13).
+"""
+
+from .models.hubbard import MBCSim, MBSim, OBCSim, OBSim, hamiltonian
+from .algorithms.groundstate import compute_groundstate, find_groundstate
+from .algorithms.vumps import vumps
+from .observables import (calc_ms, density_spin, density_state, dim_state,
+                          filling_check)
+from .workflows import (produce_bandgap, produce_excitations,
+                        produce_groundstate, produce_TruncState)
+from .io.serialize import load_state, save_state
+from .io.extract_params import extract_params
+from .plotting import plot_excitations, plot_spin
+
+__all__ = [
+    "OBSim", "MBSim", "OBCSim", "MBCSim", "hamiltonian",
+    "compute_groundstate", "find_groundstate", "vumps",
+    "produce_groundstate", "produce_excitations", "produce_bandgap",
+    "produce_TruncState",
+    "dim_state", "density_state", "density_spin", "calc_ms", "filling_check",
+    "save_state", "load_state", "extract_params",
+    "plot_excitations", "plot_spin",
+]
+
+__version__ = "0.1.0"

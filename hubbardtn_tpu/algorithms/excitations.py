@@ -1,0 +1,369 @@
+"""Quasiparticle excitations on uniform MPS (tangent-space ansatz).
+
+TPU-native equivalent of MPSKit's ``excitations(H, QuasiparticleAnsatz(...),
+momenta, psi, envs; num, sector)`` driven by the reference at
+/root/reference/src/HubbardFunctions.jl:1173-1212.
+
+The ansatz: |Phi_p(B)> = sum_n e^{ipn} (cells translated by n) with one site
+tensor replaced by B[x] = NL[x] X[x]; NL is the left null space of AL, so
+the states are orthogonal to the ground state and <Phi'|Phi> reduces to
+sum_x <X'[x], X[x]>.  The effective Hamiltonian per momentum needs two
+geometric sums over mixed AL/AR cell transfers, solved with GMRES; the unit
+eigenvalue of the mixed transfer (trivial charge sector at p = 0) is
+projected out exactly as in the ground-state environment solves.
+
+Charged sectors: X[x] carries the excitation charge q as its SymTensor
+charge; all environment bookkeeping follows automatically from the graded
+tensor algebra.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mpo.fsm import MPOHamiltonian
+from ..mps.imps import UniformMPS
+from ..solvers.krylov import TreePacker, gmres, lanczos_ground
+from ..symmetry.groups import Sector
+from ..tensor import linalg as tla
+from ..tensor.symtensor import IN, OUT, SymTensor, tensordot
+from .environments import Environments, mpo_transfer_left, mpo_transfer_right
+from .vumps import apply_H_AC
+
+
+def _to_complex(t: SymTensor) -> SymTensor:
+    return t.astype(jnp.complex128)
+
+
+def _env_complex(env: Dict[int, SymTensor]) -> Dict[int, SymTensor]:
+    return {a: _to_complex(t) for a, t in env.items()}
+
+
+def _zero_like_env(template: Dict[int, SymTensor], q: Sector, group,
+                   spaces) -> Dict[int, SymTensor]:
+    """Zero environment dict with an extra ket-side charge q and explicit
+    (bra_space, ket_space) legs — the mixed AL/AR environments of the
+    excitation live between *different* gauge bases."""
+    out = {}
+    for a, t in template.items():
+        out[a] = SymTensor.zeros(t.group, spaces, t.arrows,
+                                 charge=group.fuse(t.charge, q),
+                                 dtype=jnp.complex128)
+    return out
+
+
+def _add_env(A: Dict[int, SymTensor], B: Dict[int, SymTensor]):
+    out = dict(A)
+    for a, t in B.items():
+        out[a] = out[a] + t if a in out else t
+    return out
+
+
+def _canon_env(template: Dict[int, SymTensor], data: Dict[int, SymTensor]):
+    out = {}
+    for a, z in template.items():
+        d = data.get(a)
+        out[a] = z if d is None else z + d
+    return out
+
+
+def _shifted_mpo(H: MPOHamiltonian, e_site: float) -> MPOHamiltonian:
+    """H - e_site * Id per site: the uniform energy shift that makes every
+    environment growth-free.  With the shifted MPO, *all* diagrams of the
+    excitation matrix elements carry their -e subtraction automatically and
+    the effective eigenvalues are excitation energies directly."""
+    ident = H.site.op("id")
+    Ws = []
+    for x in range(H.T):
+        W = dict(H.Ws[x])
+        # on-site shift rides the (INIT at bond x) -> (FINAL at bond x+1) edge
+        key = (0, H.n_channels[(x + 1) % H.T] - 1)
+        shift = ident * (-e_site)
+        W[key] = W[key] + shift if key in W else shift
+        Ws.append(W)
+    return MPOHamiltonian(H.site, H.T, H.n_channels, H.charges, Ws, H.max_len)
+
+
+class QuasiparticleProblem:
+    """Per-(state, H, sector) data for the excitation eigenproblem."""
+
+    def __init__(self, psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
+                 sector: Sector):
+        # work with the energy-shifted Hamiltonian H - e_site * Id: its
+        # environments are growth-free and the effective eigenvalues are
+        # excitation energies with no offset corrections
+        e_site = float(np.real(envs.energy_per_site))
+        H = _shifted_mpo(H, e_site)
+        envs = Environments(psi, H, tol=1e-12)
+        resid_e = float(np.real(envs.energy_per_site))
+        if abs(resid_e) > 1e-6 * max(1.0, abs(e_site)):
+            print(f"Warning: shifted-MPO residual energy {resid_e:.2e}")
+        self.H = H
+        self.T = psi.T
+        self.group = psi.group
+        self.q = tuple(sector)
+        self.ALs = [_to_complex(t) for t in psi.ALs]
+        self.ARs = [_to_complex(t) for t in psi.ARs]
+        self.Cs = [_to_complex(t) for t in psi.Cs]
+        self.GLs = [_env_complex(e) for e in envs.GLs]
+        self.GRs = [_env_complex(e) for e in envs.GRs]
+        self.Ws = tuple({k: _to_complex(op) for k, op in W.items()}
+                        for W in H.Ws)
+        self.NLs = [tla.left_null(self.ALs[x], 2) for x in range(self.T)]
+        g = self.group
+        self.Xt: List[SymTensor] = []
+        for x in range(self.T):
+            nl = self.NLs[x].spaces[2]
+            vr = self.ARs[x].spaces[2]
+            self.Xt.append(SymTensor.zeros(g, (nl, vr), (IN, OUT),
+                                           charge=self.q,
+                                           dtype=jnp.complex128))
+        self.n_params = sum(
+            sum(int(np.prod(t.key_shape(k))) for k in t.allowed_keys())
+            for t in self.Xt)
+        self.packer = TreePacker(
+            [SymTensorFull(t) for t in self.Xt], dtype=jnp.complex128)
+        # environment templates per bond for the geometric sums:
+        # LB is GL-like with bra = AL basis, ket = AR basis;
+        # RB is GR-like with ket = AL basis, bra = AR basis.
+        T = self.T
+        self.LB_ts = [
+            _zero_like_env(self.GLs[x], self.q, g,
+                           (self.ALs[x].spaces[0], self.ARs[x].spaces[0]))
+            for x in range(T)]
+        self.RB_ts = [
+            _zero_like_env(self.GRs[x], self.q, g,
+                           (self.ALs[x].spaces[2], self.ARs[x].spaces[2]))
+            for x in range(T)]
+        self.LB_t = self.LB_ts[0]
+        self.RB_t = self.RB_ts[T - 1]
+        self.lb_packer = TreePacker(self.LB_t, dtype=jnp.complex128)
+        self.rb_packer = TreePacker(self.RB_t, dtype=jnp.complex128)
+        # unit-eigenvalue data (trivial sector): mixed-transfer eigvec = C
+        self.C0 = self.Cs[self.T - 1]
+
+    def Bs_from_X(self, Xs: List[SymTensor]) -> List[SymTensor]:
+        return [tensordot(self.NLs[x], Xs[x], axes=([2], [0]))
+                for x in range(self.T)]
+
+
+def SymTensorFull(t: SymTensor) -> SymTensor:
+    """Zero tensor with the complete allowed-block table (stable pytree)."""
+    return SymTensor.zeros(t.group, t.spaces, t.arrows, t.charge, t.dtype)
+
+
+# ----------------------------------------------------------------------
+# cell maps (jitted; structure-stable per problem)
+# ----------------------------------------------------------------------
+
+def _proj_out(X: SymTensor, C0: SymTensor, nrm) -> SymTensor:
+    """Remove the C0-component: X - C0 <C0, X> / <C0, C0>."""
+    return X - C0 * (C0.inner(X) / nrm)
+
+
+@partial(jax.jit, static_argnames=("packer", "project"))
+def _mixL_op(vec, Ws, kets, bras, phase, C0, *, project: bool,
+             packer: TreePacker):
+    """(1 - phase * P T_mixL) applied to a packed boundary environment."""
+    env = packer.unpack(vec)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, env)
+    cur = env
+    for W, A, B in zip(Ws, kets, bras):
+        cur = mpo_transfer_left(cur, W, A, B)
+    cur = _canon_env(zero, cur)
+    if project:
+        cur = dict(cur)
+        cur[0] = _proj_out(cur[0], C0, C0.inner(C0))
+    out = jax.tree_util.tree_map(lambda a, b: a - phase * b, env, cur)
+    return packer.pack(out)
+
+
+@partial(jax.jit, static_argnames=("packer", "fin", "project"))
+def _mixR_op(vec, Ws, kets, bras, phase, C0, *, fin: int, project: bool,
+             packer: TreePacker):
+    env = packer.unpack(vec)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, env)
+    cur = env
+    for W, A, B in zip(reversed(Ws), reversed(kets), reversed(bras)):
+        cur = mpo_transfer_right(cur, W, A, B)
+    cur = _canon_env(zero, cur)
+    if project:
+        cur = dict(cur)
+        cur[fin] = _proj_out(cur[fin], C0, C0.inner(C0))
+    out = jax.tree_util.tree_map(lambda a, b: a - phase * b, env, cur)
+    return packer.pack(out)
+
+
+def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
+               phase: complex, gmres_tol: float = 1e-10) -> List[SymTensor]:
+    """One application of the momentum-space effective Hamiltonian."""
+    T, Ws = prob.T, prob.Ws
+    ALs, ARs = prob.ALs, prob.ARs
+    GLs, GRs = prob.GLs, prob.GRs
+    Bs = prob.Bs_from_X(Xs)
+    trivial = prob.q == prob.group.trivial
+    at_zero = abs(phase - 1.0) < 1e-10
+    project = trivial and at_zero
+
+    # --- left geometric sum -----------------------------------------------
+    # within-cell inflow: insert B at each site, then continue with AR kets
+    cur: Dict[int, SymTensor] = prob.LB_t
+    for y in range(T):
+        tmpl = prob.LB_ts[(y + 1) % T]
+        cur = _canon_env(tmpl, mpo_transfer_left(cur, Ws[y], ARs[y], ALs[y]))
+        ins = mpo_transfer_left(GLs[y], Ws[y], Bs[y], ALs[y])
+        cur = _canon_env(tmpl, _add_env(cur, ins))
+    CB = cur
+    nrmC = prob.C0.inner(prob.C0)
+    if project:
+        CB = dict(CB)
+        CB[0] = _proj_out(CB[0], prob.C0, nrmC)
+    rhs = prob.lb_packer.pack(
+        jax.tree_util.tree_map(lambda t: np.conj(phase) * t, CB))
+
+    def mvL(v):
+        return _mixL_op(v, Ws, tuple(ARs), tuple(ALs), np.conj(phase),
+                        prob.C0, project=project, packer=prob.lb_packer)
+
+    lb_vec, _ = gmres(mvL, rhs, krylov_dim=30, tol=gmres_tol, max_restarts=10)
+    LB0 = prob.lb_packer.unpack(lb_vec)
+
+    LBs = [LB0]
+    for x in range(T - 1):
+        tmpl = prob.LB_ts[x + 1]
+        nxt = _canon_env(tmpl,
+                         mpo_transfer_left(LBs[x], Ws[x], ARs[x], ALs[x]))
+        ins = mpo_transfer_left(GLs[x], Ws[x], Bs[x], ALs[x])
+        LBs.append(_canon_env(tmpl, _add_env(nxt, ins)))
+
+    # --- right geometric sum ----------------------------------------------
+    fin = max(prob.RB_t.keys())
+    cur = prob.RB_t
+    for y in reversed(range(T)):
+        tmpl = prob.RB_ts[(y - 1) % T]
+        cur = _canon_env(tmpl, mpo_transfer_right(cur, Ws[y], ALs[y], ARs[y]))
+        ins = mpo_transfer_right(GRs[y], Ws[y], Bs[y], ARs[y])
+        cur = _canon_env(tmpl, _add_env(cur, ins))
+    CBr = cur
+    if project:
+        CBr = dict(CBr)
+        CBr[fin] = _proj_out(CBr[fin], prob.C0, nrmC)
+    rhs_r = prob.rb_packer.pack(
+        jax.tree_util.tree_map(lambda t: phase * t, CBr))
+
+    def mvR(v):
+        return _mixR_op(v, Ws, tuple(ALs), tuple(ARs), phase, prob.C0,
+                        fin=fin, project=project, packer=prob.rb_packer)
+
+    rb_vec, _ = gmres(mvR, rhs_r, krylov_dim=30, tol=gmres_tol, max_restarts=10)
+    RB0 = prob.rb_packer.unpack(rb_vec)
+
+    RBs: List[Optional[Dict[int, SymTensor]]] = [None] * T
+    RBs[T - 1] = RB0
+    for x in reversed(range(1, T)):
+        tmpl = prob.RB_ts[x - 1]
+        nxt = _canon_env(tmpl,
+                         mpo_transfer_right(RBs[x], Ws[x], ALs[x], ARs[x]))
+        ins = mpo_transfer_right(GRs[x], Ws[x], Bs[x], ARs[x])
+        RBs[x - 1] = _canon_env(tmpl, _add_env(nxt, ins))
+
+    # --- assemble gradient --------------------------------------------------
+    out: List[SymTensor] = []
+    for x in range(T):
+        G = apply_H_AC(GLs[x], Ws[x], GRs[x], Bs[x])
+        G = G + apply_H_AC(LBs[x], Ws[x], GRs[x], ARs[x])
+        G = G + apply_H_AC(GLs[x], Ws[x], RBs[x], ALs[x])
+        Xp = tensordot(prob.NLs[x].conj(), G, axes=([0, 1], [0, 1]))
+        out.append(SymTensorFull(prob.Xt[x]) + Xp)
+    return out
+
+
+def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
+                momenta: Sequence[float], sector: Sector, num: int = 1,
+                krylov_dim: int = 30, tol: float = 1e-6,
+                verbosity: int = 0) -> Tuple[np.ndarray, list]:
+    """Lowest ``num`` excitation energies at each momentum (phase per unit
+    cell = e^{i k}).  Returns (Es[len(momenta), num], X parameter lists)."""
+    prob = QuasiparticleProblem(psi, H, envs, sector)
+    if prob.n_params == 0:
+        raise ValueError(f"no excitation parameters in sector {sector}")
+    pk = prob.packer
+    Es = np.zeros((len(momenta), num), dtype=np.complex128)
+    Xs_out = []
+    for ik, k in enumerate(momenta):
+        phase = complex(np.exp(1j * k))
+
+        def mv(vec):
+            Xs = pk.unpack(vec)
+            return pk.pack(apply_heff(prob, Xs, phase,
+                                      gmres_tol=max(tol * 1e-2, 1e-10)))
+
+        rng = np.random.default_rng(42 + ik)
+        v0 = jnp.asarray(rng.standard_normal(pk.total)
+                         + 1j * rng.standard_normal(pk.total))
+        if num == 1:
+            w, v, info = lanczos_ground(mv, v0, krylov_dim=krylov_dim,
+                                        tol=tol, max_restarts=40)
+            Es[ik, 0] = w
+            Xs_out.append(pk.unpack(v))
+            if verbosity >= 1:
+                print(f"[exc] k={k:.4f}  E={w:.8f}"
+                      f"  resid={info['resid']:.2e}  iters={info['iters']}")
+        else:
+            ws, vs = _lanczos_lowest_k(mv, v0, num, krylov_dim, tol)
+            Es[ik, :] = np.asarray(ws)
+            Xs_out.append([pk.unpack(v) for v in vs])
+            if verbosity >= 1:
+                print(f"[exc] k={k:.4f}  E={np.asarray(ws)}")
+    return Es, Xs_out
+
+
+def _lanczos_lowest_k(mv, v0, num, krylov_dim, tol, max_restarts=40):
+    """num lowest Ritz pairs via restarted Lanczos targeting the lowest."""
+    n = v0.shape[0]
+    v = v0 / jnp.linalg.norm(v0)
+    for _ in range(max_restarts):
+        V = jnp.zeros((krylov_dim + 1, n), dtype=v.dtype).at[0].set(v)
+        a_d, b_d = [], []
+        for j in range(krylov_dim):
+            w = mv(V[j])
+            a_d.append(jnp.vdot(V[j], w).real)
+            c1 = jnp.conj(V) @ w
+            w = w - V.T @ c1
+            c2 = jnp.conj(V) @ w
+            w = w - V.T @ c2
+            b = jnp.linalg.norm(w)
+            b_d.append(b)
+            if j < krylov_dim - 1:
+                V = V.at[j + 1].set(jnp.where(b > 1e-300, w / b, 0.0))
+        alphas = np.asarray(jnp.stack(a_d))
+        betas = np.asarray(jnp.stack(b_d))
+        k = krylov_dim
+        for j in range(krylov_dim - 1):
+            if betas[j] < 1e-14:
+                k = j + 1
+                break
+        Tm = np.diag(alphas[:k])
+        for j in range(k - 1):
+            Tm[j, j + 1] = Tm[j + 1, j] = betas[j]
+        evals, evecs = np.linalg.eigh(Tm)
+        resid = abs(betas[k - 1] * evecs[k - 1, 0])
+        c = jnp.zeros((krylov_dim + 1,), dtype=v.dtype).at[:k].set(
+            jnp.asarray(evecs[:, 0]))
+        v = V.T @ c
+        v = v / jnp.linalg.norm(v)
+        if resid < tol:
+            ws = evals[:num]
+            vs = []
+            for m in range(min(num, k)):
+                cm = jnp.zeros((krylov_dim + 1,), dtype=v.dtype).at[:k].set(
+                    jnp.asarray(evecs[:, m]))
+                vm = V.T @ cm
+                vs.append(vm / jnp.linalg.norm(vm))
+            return ws, vs
+    return evals[:num], [v]

@@ -92,6 +92,48 @@ class Packer:
         return jnp.asarray(v, dtype=self.dtype)
 
 
+class TreePacker:
+    """Bijection between an arbitrary pytree of arrays (fixed structure) and
+    one flat 1-D vector.  Hashable on the static structure (treedef + leaf
+    shapes + dtype), so jitted matvecs can take it via ``static_argnames``."""
+
+    __slots__ = ("treedef", "shapes", "sizes", "offsets", "total", "dtype")
+
+    def __init__(self, template, dtype=None):
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        self.treedef = treedef
+        self.shapes = tuple(tuple(l.shape) for l in leaves)
+        self.sizes = tuple(int(np.prod(s)) if s else 1 for s in self.shapes)
+        offs, off = [], 0
+        for s in self.sizes:
+            offs.append(off)
+            off += s
+        self.offsets = tuple(offs)
+        self.total = off
+        self.dtype = jnp.dtype(dtype) if dtype is not None else (
+            jnp.result_type(*leaves) if leaves else jnp.dtype(jnp.float64))
+
+    def _sig(self):
+        return (self.treedef, self.shapes, str(self.dtype))
+
+    def __hash__(self):
+        return hash(self._sig())
+
+    def __eq__(self, other):
+        return isinstance(other, TreePacker) and self._sig() == other._sig()
+
+    def pack(self, tree) -> jnp.ndarray:
+        leaves = jax.tree_util.tree_leaves(tree)
+        if not leaves:
+            return jnp.zeros((0,), dtype=self.dtype)
+        return jnp.concatenate([l.reshape(-1).astype(self.dtype) for l in leaves])
+
+    def unpack(self, vec: jnp.ndarray):
+        leaves = [vec[o:o + s].reshape(shape)
+                  for o, s, shape in zip(self.offsets, self.sizes, self.shapes)]
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
 # ----------------------------------------------------------------------
 # Lanczos: smallest eigenpair of a Hermitian operator
 # ----------------------------------------------------------------------

@@ -78,14 +78,29 @@ class AbelianGroup:
         return "x".join(self.names)
 
 
+def _group_by_name(name: str) -> "AbelianGroup":
+    """Intern groups on unpickle so identity-based equality survives."""
+    return _GROUP_REGISTRY[name]
+
+
+def _register(group: "AbelianGroup") -> "AbelianGroup":
+    _GROUP_REGISTRY[str(group)] = group
+    return group
+
+
+AbelianGroup.__reduce__ = lambda self: (_group_by_name, (str(self),))
+
+_GROUP_REGISTRY: dict = {}
+
 FZ2 = GroupFactor("Z", 2)
 U1 = GroupFactor("U1")
 
 # fZ2 x U1(2Sz) x U1(Q*n - P): the canonical (fixed filling) symmetry.
 # Mirrors reference SymSpace(P, Q, spin) at src/HubbardFunctions.jl:245-255;
 # the SU(2) variant of the reference is represented via its Sz subgroup.
-FERMION_SPIN_CHARGE = AbelianGroup((FZ2, U1, U1), ("fZ2", "U1sz", "U1c"))
+FERMION_SPIN_CHARGE = _register(
+    AbelianGroup((FZ2, U1, U1), ("fZ2", "U1sz", "U1c")))
 
 # fZ2 x U1(2Sz): grand-canonical symmetry (particle number free to adjust).
 # Mirrors reference SymSpace() at src/HubbardFunctions.jl:341-346.
-FERMION_SPIN = AbelianGroup((FZ2, U1), ("fZ2", "U1sz"))
+FERMION_SPIN = _register(AbelianGroup((FZ2, U1), ("fZ2", "U1sz")))

@@ -45,6 +45,9 @@ class Space:
     def __setattr__(self, *a):  # immutability
         raise AttributeError("Space is immutable")
 
+    def __reduce__(self):  # picklable despite immutability
+        return (Space, (self.group, self._items))
+
     # --- basic queries -------------------------------------------------
     @property
     def sectors(self) -> Tuple[Sector, ...]:

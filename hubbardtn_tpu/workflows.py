@@ -1,0 +1,167 @@
+"""Cached workflow entry points (the reference's ``produce_*`` API).
+
+TPU-native equivalent of the DrWatson ``produce_or_load`` layer
+(/root/reference/src/HubbardFunctions.jl:1133-1166 ground state, :1226-1269
+excitations, :1276-1299 band gap, :1301-1344 domain walls, :1381-1387
+truncation).  Results are cached on disk under ``datadir/sims/<name>/`` with
+a human-readable prefix plus a short content hash of the full parameter set
+— the hash removes the reference's documented collision risk for reused
+``code`` names (src/HubbardFunctions.jl:114-115)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import asdict
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .algorithms.changebonds import svd_cut
+from .algorithms.environments import Environments
+from .algorithms.excitations import excitations as _excitations
+from .algorithms.groundstate import compute_groundstate
+from .io.serialize import load_result, save_result
+from .models.hubbard import MBCSim, MBSim, OBCSim, OBSim, hamiltonian
+from .tensor.linalg import Truncation
+
+DATADIR = os.environ.get("HUBBARDTN_DATADIR", "data")
+
+
+def _param_hash(sim, extra: dict = None) -> str:
+    payload = repr(sorted(asdict(sim).items())) + repr(sorted((extra or {}).items()))
+    return hashlib.sha256(payload.encode()).hexdigest()[:10]
+
+
+def _prefix(sim) -> str:
+    """Readable cache prefix (reference encodes params into names,
+    :1146-1165; multi-band uses the user code, :1136-1142)."""
+    if isinstance(sim, OBSim):
+        spin = "spin" if sim.spin else "nospin"
+        return f"groundstate_{spin}_t{list(sim.t)}_u{list(sim.u)}_J{list(sim.J)}"
+    if isinstance(sim, OBCSim):
+        tag = f"mu{sim.mu}" if sim.mu is not None else f"f{sim.f}"
+        return f"groundstate_t{list(sim.t)}_u{list(sim.u)}_{tag}"
+    code = getattr(sim, "code", "")
+    return f"groundstate_{code}" if code else "groundstate"
+
+
+def _cache_path(sim, prefix: str, extra: dict = None,
+                datadir: Optional[str] = None) -> str:
+    d = os.path.join(datadir or DATADIR, "sims", sim.name())
+    fname = f"{prefix}_{_param_hash(sim, extra)}.pkl"
+    return os.path.join(d, fname)
+
+
+def produce_or_load(compute, sim, prefix: str, extra: dict = None,
+                    force: bool = False, datadir: Optional[str] = None) -> dict:
+    path = _cache_path(sim, prefix, extra, datadir)
+    if not force and os.path.exists(path):
+        return load_result(path)
+    result = compute()
+    save_result(result, path)
+    return result
+
+
+def produce_groundstate(sim, force: bool = False, datadir: Optional[str] = None,
+                        **solver_kwargs) -> dict:
+    """Cached ground-state solve (reference produce_groundstate,
+    :1133-1166).  The returned dict always carries live Hamiltonian and
+    environments (recomputed on cache load)."""
+
+    def compute():
+        return compute_groundstate(sim, **solver_kwargs)
+
+    out = produce_or_load(compute, sim, _prefix(sim), force=force,
+                          datadir=datadir)
+    if "ham" not in out or out.get("environments") is None:
+        H = hamiltonian(sim if not (isinstance(sim, OBCSim) and sim.f is not None)
+                        else sim.with_mu(out["mu"]))
+        out["ham"] = H
+        out["environments"] = Environments(out["groundstate"], H, tol=1e-12)
+    return out
+
+
+def _sector_from_charges(sim, charges: Sequence[float]):
+    """Map the reference's [fermion parity, spin, charge] triple
+    (:1182-1191) to an abelian sector of the model's symmetry group."""
+    f = int(round(charges[0])) % 2
+    two_sz = int(round(2 * charges[1]))
+    if isinstance(sim, (OBCSim, MBCSim)):
+        return (f, two_sz)
+    Q = sim.Q
+    return (f, two_sz, int(round(charges[2] * Q)))
+
+
+def produce_excitations(sim, momenta, nums: int = 1, force: bool = False,
+                        charges: Sequence[float] = (1, 0.5, 1),
+                        trunc_dim: int = 0, trunc_scheme: int = 0,
+                        solver_tol: float = 1e-6, krylov_dim: int = 30,
+                        datadir: Optional[str] = None, verbosity: int = 0,
+                        **gs_kwargs) -> dict:
+    """Cached quasiparticle dispersion (reference produce_excitations,
+    :1226-1269)."""
+    momenta = np.atleast_1d(np.asarray(momenta, dtype=float))
+    sector = _sector_from_charges(sim, charges)
+    extra = {"momenta": momenta.tolist(), "nums": nums, "sector": sector,
+             "trunc_dim": trunc_dim}
+
+    def compute():
+        gs = produce_groundstate(sim, force=False, datadir=datadir, **gs_kwargs)
+        psi, H, envs = gs["groundstate"], gs["ham"], gs["environments"]
+        if trunc_dim > 0:
+            tr = produce_TruncState(sim, trunc_dim, trunc_scheme=trunc_scheme,
+                                    datadir=datadir)
+            psi = tr["psi_trunc"]
+            envs = Environments(psi, H, tol=1e-12)
+        Es, _Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
+                               tol=solver_tol, krylov_dim=krylov_dim,
+                               verbosity=verbosity)
+        return {"Es": Es, "momenta": momenta, "sector": sector}
+
+    prefix = f"exc_{'_'.join(f'{c}' for c in charges)}"
+    return produce_or_load(compute, sim, prefix, extra, force=force,
+                           datadir=datadir)
+
+
+def produce_bandgap(sim, resolution: int = 5, force: bool = False,
+                    datadir: Optional[str] = None, **kwargs):
+    """E_gap(k) = E_hole(k) + E_electron(k); returns (gap, k_min) and warns
+    for indirect gaps (reference produce_bandgap, :1276-1299)."""
+    if getattr(sim, "spin", False):
+        raise ValueError("Band gap of spin-dependent systems not implemented.")
+    momenta = np.linspace(0, np.pi, resolution)
+    exc_h = produce_excitations(sim, momenta, 1, force=force,
+                                charges=[1, 0.5, -1], datadir=datadir, **kwargs)
+    exc_e = produce_excitations(sim, momenta, 1, force=force,
+                                charges=[1, 0.5, 1], datadir=datadir, **kwargs)
+    total = np.real(exc_h["Es"][:, 0] + exc_e["Es"][:, 0])
+    imin = int(np.argmin(total))
+    if imin != 0:
+        print("Warning: indirect band gap; gap location k =", momenta[imin])
+    return float(total[imin]), float(momenta[imin])
+
+
+def produce_TruncState(sim, trunc_dim: int, trunc_scheme: int = 0,
+                       force: bool = False, datadir: Optional[str] = None,
+                       **gs_kwargs) -> dict:
+    """Cached bond truncation of the ground state (reference TruncState,
+    :1351-1387).  scheme 0 = VUMPSSvdCut analog (truncate then re-converge),
+    scheme 1 = plain SvdCut."""
+    if trunc_dim <= 0:
+        raise ValueError("trunc_dim should be larger than 0.")
+    extra = {"trunc_dim": trunc_dim, "scheme": trunc_scheme}
+
+    def compute():
+        gs = produce_groundstate(sim, force=False, datadir=datadir, **gs_kwargs)
+        psi, H = gs["groundstate"], gs["ham"]
+        psi_t = svd_cut(psi, Truncation(max_dim=trunc_dim * psi.T))
+        if trunc_scheme == 0:
+            from .algorithms.vumps import vumps
+            psi_t = vumps(psi_t, H, tol=1e-7, maxiter=50).psi
+        elif trunc_scheme != 1:
+            raise ValueError("trunc_scheme should be 0 (VUMPSSvdCut) or 1 (SvdCut).")
+        return {"psi_trunc": psi_t, "trunc_dim": trunc_dim}
+
+    return produce_or_load(compute, sim, f"trunc_{trunc_dim}", extra,
+                           force=force, datadir=datadir)

@@ -1,0 +1,46 @@
+"""Quasiparticle excitations against exact band-insulator dispersions.
+
+The P=2 band insulator has an exact product ground state, so the
+single-particle ansatz is exact: hole dispersion 2t cos(k) - u for the
+one-site cell, and the folded branch -2t|cos(k/2)| - u for the two-site
+cell (P=4, Q=2).  These pin the full diagram set, the geometric sums, the
+energy-shifted MPO offsets, and the cell-momentum convention."""
+
+import numpy as np
+import pytest
+
+from hubbardtn_tpu.algorithms.excitations import excitations
+from hubbardtn_tpu.algorithms.vumps import vumps
+from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
+from hubbardtn_tpu.mps.imps import initialize_mps
+
+
+def _solve(P, Q):
+    sim = OBSim(t=(1.0,), u=(4.0,), P=P, Q=Q)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=3,
+                         seed=1, cells=2)
+    res = vumps(psi, H, tol=1e-10, maxiter=60)
+    assert abs(res.energy - 4.0) < 1e-9  # exact insulator energy u per site
+    return sim, H, res
+
+
+@pytest.mark.slow
+def test_hole_dispersion_T1_exact():
+    sim, H, res = _solve(2, 1)
+    ks = np.linspace(0, np.pi, 3)
+    Es, _ = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -1),
+                        num=1, tol=1e-8)
+    np.testing.assert_allclose(np.real(Es).ravel(), 2 * np.cos(ks) - 4.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.imag(Es).ravel(), 0.0, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_hole_dispersion_T2_exact():
+    sim, H, res = _solve(4, 2)
+    ks = np.linspace(0, np.pi, 3)
+    Es, _ = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -2),
+                        num=1, tol=1e-8)
+    np.testing.assert_allclose(np.real(Es).ravel(),
+                               -2 * np.abs(np.cos(ks / 2)) - 4.0, atol=1e-6)

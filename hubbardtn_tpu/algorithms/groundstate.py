@@ -95,7 +95,8 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                           max_rounds=max_rounds, max_bond=max_bond, seed=seed,
                           round_iters=round_iters, final_iters=final_iters)
     H = hamiltonian(sim)
-    cells = 2 if sim.T <= 2 else 1
+    # T=1 needs an extra fusion cell for a non-trivial initial bond window
+    cells = 2 if sim.T == 1 else 1
     psi = initialize_mps(H.site.group, H.site.space, sim.T,
                          bond_dim=getattr(sim, "bond_dim", 50), seed=seed,
                          cells=cells)

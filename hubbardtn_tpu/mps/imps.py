@@ -245,6 +245,16 @@ def initialize_mps(group, phys: Space, T: int, bond_dim: int,
 # transfer operators (no MPO)
 # ----------------------------------------------------------------------
 
+def circshift_mps(psi: UniformMPS, shift: int) -> UniformMPS:
+    """Translate the unit cell by ``shift`` sites (reference ``circshift``
+    at src/HubbardFunctions.jl:1204, used for domain-wall kets)."""
+    T = psi.T
+    s = shift % T
+    return UniformMPS([psi.ALs[(x + s) % T] for x in range(T)],
+                      [psi.ARs[(x + s) % T] for x in range(T)],
+                      [psi.Cs[(x + s) % T] for x in range(T)])
+
+
 def transfer_left(X: SymTensor, A: SymTensor, Abar_of: SymTensor) -> SymTensor:
     """X'[b',k'] = sum_{b,k,p} X[b,k] A[k,p,k'] conj(B)[b,p,b'].
 

@@ -134,6 +134,35 @@ def _right_factor(T: SymTensor, nrows: int, colinfo: LegFusion,
 # factorizations
 # ----------------------------------------------------------------------
 
+def _traced(m) -> bool:
+    import jax
+    return isinstance(m, jax.core.Tracer)
+
+
+def _qr_reduced(m):
+    """Reduced QR: jnp under tracing, numpy LAPACK eagerly (XLA CPU's eager
+    LAPACK custom calls were observed to corrupt the heap sporadically)."""
+    if _traced(m):
+        return jnp.linalg.qr(m, mode="reduced")
+    q, r = np.linalg.qr(np.asarray(m), mode="reduced")
+    return jnp.asarray(q, dtype=m.dtype), jnp.asarray(r, dtype=m.dtype)
+
+
+def _svd_thin(m):
+    if _traced(m):
+        return jnp.linalg.svd(m, full_matrices=False)
+    u, s, vh = np.linalg.svd(np.asarray(m), full_matrices=False)
+    return (jnp.asarray(u, dtype=m.dtype), jnp.asarray(s),
+            jnp.asarray(vh, dtype=m.dtype))
+
+
+def _eigh_host(m):
+    if _traced(m):
+        return jnp.linalg.eigh(m)
+    w, v = np.linalg.eigh(np.asarray(m))
+    return jnp.asarray(w), jnp.asarray(v, dtype=m.dtype)
+
+
 def _pos_diag(q, r):
     """Gauge-fix a reduced QR so diag(R) >= 0 (unique, phase-stable)."""
     d = jnp.diagonal(r)
@@ -147,7 +176,7 @@ def qr(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
     mats, rowinfo, colinfo = matricize(T, nrows)
     Qs, Rs, bond = {}, {}, {}
     for r, m in mats.items():
-        q, rr = jnp.linalg.qr(m, mode="reduced")
+        q, rr = _qr_reduced(m)
         q, rr = _pos_diag(q, rr)
         Qs[r], Rs[r] = q, rr
         bond[r] = q.shape[1]
@@ -162,7 +191,7 @@ def lq(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
     mats, rowinfo, colinfo = matricize(T, nrows)
     Ls, Qs, bond = {}, {}, {}
     for r, m in mats.items():
-        qt, rt = jnp.linalg.qr(jnp.conj(m.T), mode="reduced")
+        qt, rt = _qr_reduced(jnp.conj(m.T))
         qt, rt = _pos_diag(qt, rt)
         Ls[r] = jnp.conj(rt.T)
         Qs[r] = jnp.conj(qt.T)
@@ -178,7 +207,7 @@ def svd(T: SymTensor, nrows: int):
     mats, rowinfo, colinfo = matricize(T, nrows)
     Us, ss, Vhs, bond = {}, {}, {}, {}
     for r, m in mats.items():
-        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        u, s, vh = _svd_thin(m)
         Us[r], ss[r], Vhs[r] = u, s, vh
         bond[r] = u.shape[1]
     bond_space = Space(T.group, bond)
@@ -193,7 +222,7 @@ def polar(T: SymTensor, nrows: int) -> SymTensor:
     Ws = {}
     bond = {}
     for r, m in mats.items():
-        u, _, vh = jnp.linalg.svd(m, full_matrices=False)
+        u, _, vh = _svd_thin(m)
         Ws[r] = u @ vh
         bond[r] = m.shape[1]
     # polar factor has the same shape as T itself
@@ -210,7 +239,7 @@ def eigh(T: SymTensor) -> Tuple[Dict[Sector, jnp.ndarray], SymTensor]:
     ws, Vs, bond = {}, {}, {}
     for (q0, q1), b in T.blocks.items():
         assert q0 == q1, "eigh requires block-diagonal tensor"
-        w, v = jnp.linalg.eigh(b)
+        w, v = _eigh_host(b)
         ws[q0], Vs[q0] = w, v
         bond[q0] = b.shape[0]
     bond_space = Space(T.group, bond)
@@ -266,7 +295,7 @@ def svd_truncate(T: SymTensor, nrows: int, trunc: Truncation):
     mats, rowinfo, colinfo = matricize(T, nrows)
     Us, ss, Vhs = {}, {}, {}
     for r, m in mats.items():
-        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        u, s, vh = _svd_thin(m)
         Us[r], ss[r], Vhs[r] = u, s, vh
     ss_host = {q: np.asarray(s) for q, s in ss.items()}
     counts = trunc.keep_counts(ss_host)
@@ -291,7 +320,11 @@ def svd_truncate(T: SymTensor, nrows: int, trunc: Truncation):
 def left_null(T: SymTensor, nrows: int) -> SymTensor:
     """Orthonormal complement of the column space of the matricization:
     returns N with legs (rows..., null_bond OUT), N^dag T = 0, N^dag N = I.
-    Sectors absent from T's blocks contribute their full row space."""
+    Sectors absent from T's blocks contribute their full row space.
+
+    Runs on the host through numpy's LAPACK: XLA CPU's complete-mode QR was
+    observed to corrupt the heap for some block shapes (glibc malloc aborts
+    several calls later), and null spaces are host-driven anyway."""
     mats, rowinfo, colinfo = matricize(T, nrows)
     Ns, bond = {}, {}
     for r, m_dim in rowinfo.dims.items():
@@ -299,8 +332,9 @@ def left_null(T: SymTensor, nrows: int) -> SymTensor:
         if A is None:
             N = jnp.eye(m_dim, dtype=T.dtype)
         else:
-            q = jnp.linalg.qr(A, mode="complete")[0]
-            N = q[:, A.shape[1]:]
+            An = np.asarray(A)
+            q = np.linalg.qr(An, mode="complete")[0]
+            N = jnp.asarray(q[:, An.shape[1]:], dtype=T.dtype)
         if N.shape[1] == 0:
             continue
         Ns[r] = N
@@ -311,7 +345,8 @@ def left_null(T: SymTensor, nrows: int) -> SymTensor:
 
 def right_null(T: SymTensor, nrows: int) -> SymTensor:
     """Orthonormal complement of the row space of the matricization:
-    returns N with legs (null_bond IN, cols...), T N^dag = 0, N N^dag = I."""
+    returns N with legs (null_bond IN, cols...), T N^dag = 0, N N^dag = I.
+    Host-side numpy QR (see left_null)."""
     mats, rowinfo, colinfo = matricize(T, nrows)
     Ns, bond = {}, {}
     for r, n_dim in colinfo.dims.items():
@@ -319,8 +354,9 @@ def right_null(T: SymTensor, nrows: int) -> SymTensor:
         if A is None:
             N = jnp.eye(n_dim, dtype=T.dtype)
         else:
-            q = jnp.linalg.qr(jnp.conj(A.T), mode="complete")[0]
-            N = jnp.conj(q[:, A.shape[0]:].T)
+            An = np.asarray(A)
+            q = np.linalg.qr(np.conj(An.T), mode="complete")[0]
+            N = jnp.asarray(np.conj(q[:, An.shape[0]:].T), dtype=T.dtype)
         if N.shape[0] == 0:
             continue
         Ns[r] = N
@@ -341,9 +377,15 @@ def pad_leg(T: SymTensor, leg: int, new_space: Space,
         d_new = new_space.dim_of(q)
         d_old = b.shape[leg]
         off = offsets.get(q, 0)
+        if d_new < d_old + off:
+            raise ValueError(
+                f"pad_leg: sector {q} shrinks ({d_old}+{off} -> {d_new})")
         pad = [(0, 0)] * b.ndim
         pad[leg] = (off, d_new - d_old - off)
-        blocks[key] = jnp.pad(b, pad)
+        if _traced(b):
+            blocks[key] = jnp.pad(b, pad)
+        else:
+            blocks[key] = jnp.asarray(np.pad(np.asarray(b), pad))
     spaces = list(T.spaces)
     spaces[leg] = new_space
     return SymTensor(T.group, spaces, T.arrows, blocks, T.charge, T.dtype)
@@ -369,7 +411,7 @@ def svd_project(T: SymTensor, nrows: int, bond_space: Space):
         k = bond_space.dim_of(r)
         if k == 0:
             continue
-        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        u, s, vh = _svd_thin(m)
         k = min(k, u.shape[1])
         Us[r], ss[r], Vhs[r] = u[:, :k], s[:k], vh[:k, :]
         bond[r] = k

@@ -124,6 +124,35 @@ def produce_excitations(sim, momenta, nums: int = 1, force: bool = False,
                            datadir=datadir)
 
 
+def produce_domainwalls(sim, momenta, nums: int = 1, force: bool = False,
+                        charges: Sequence[float] = (1, 0.5, 1),
+                        shift: Optional[int] = None, solver_tol: float = 1e-6,
+                        krylov_dim: int = 30, datadir: Optional[str] = None,
+                        verbosity: int = 0, **gs_kwargs) -> dict:
+    """Cached domain-wall (topological) excitations: the right ground state
+    is the unit cell circshifted by ``shift`` sites (default Q; reference
+    produce_domainwalls, :1301-1344)."""
+    from .mps.imps import circshift_mps
+    momenta = np.atleast_1d(np.asarray(momenta, dtype=float))
+    sector = _sector_from_charges(sim, charges)
+    s = shift if shift is not None else getattr(sim, "Q", 1)
+    extra = {"momenta": momenta.tolist(), "nums": nums, "sector": sector,
+             "shift": s, "dw": True}
+
+    def compute():
+        gs = produce_groundstate(sim, force=False, datadir=datadir, **gs_kwargs)
+        psi, H, envs = gs["groundstate"], gs["ham"], gs["environments"]
+        psi_s = circshift_mps(psi, s)
+        Es, _Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
+                               tol=solver_tol, krylov_dim=krylov_dim,
+                               verbosity=verbosity, psi_right=psi_s)
+        return {"Es": Es, "momenta": momenta, "sector": sector, "shift": s}
+
+    prefix = f"dw_{'_'.join(f'{c}' for c in charges)}"
+    return produce_or_load(compute, sim, prefix, extra, force=force,
+                           datadir=datadir)
+
+
 def produce_bandgap(sim, resolution: int = 5, force: bool = False,
                     datadir: Optional[str] = None, **kwargs):
     """E_gap(k) = E_hole(k) + E_electron(k); returns (gap, k_min) and warns

@@ -202,8 +202,11 @@ def virtual_spaces(group, phys: Space, T: int, bond_dim: int,
         F.append(F[-1].fuse(phys))
     Vs = []
     for x in range(T):
-        fwd = F[cells * T + x]
-        bwd = F[cells * T + (T - x)].dual()
+        # flux rule q_vr = q_vl - q_p: the bond left of site x carries the
+        # DUAL of the fused physical charge accumulated from the left, and
+        # must be completable by the remaining sites to the right
+        fwd = F[cells * T + x].dual()
+        bwd = F[cells * T + (T - x)]
         Vs.append(fwd.infimum(bwd).cap(bond_dim))
     return Vs
 

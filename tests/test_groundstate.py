@@ -26,6 +26,23 @@ def test_one_band_free_fermions():
     assert abs(res.energy - (-4 / np.pi)) < 5e-3
 
 
+GOLDEN_FILLING = {(1, 2): -0.73920032, (1, 1): -0.48460447, (3, 2): 1.76073968}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("PQ", [(1, 2), (1, 1), (3, 2)])
+def test_one_band_filling_sweep(PQ):
+    """Reference test/OB.jl:40-54: u=5 at fillings 1/2, 1, 3/2 (atol 1e-2)."""
+    P, Q = PQ
+    sim = OBSim(t=(1.0,), u=(5.0,), P=P, Q=Q, bond_dim=5)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=5, seed=1)
+    res = vumps(psi, H, tol=1e-5, maxiter=80)
+    assert abs(res.energy - GOLDEN_FILLING[PQ]) < 1e-2
+    from hubbardtn_tpu.observables import filling_check
+    assert filling_check(res.psi, H.site, P, Q) < 1e-6
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("u", [0.0, 1.0, 2.0])
 def test_one_band_golden(u):

@@ -27,7 +27,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "tp") -> Mesh:
 
 def block_sharding(mesh: Mesh, shape, axis_name: str = "tp",
                    min_dim: int = 2):
-    """NamedSharding for one block: shard the largest divisible axis."""
+    """NamedSharding for one block: shard the largest eligible axis.
+
+    Shards the largest axis whose dim is divisible by the mesh size
+    (``device_put`` rejects ragged shards); blocks with no such axis are
+    replicated."""
     n = mesh.devices.size
     best = None
     for i, d in enumerate(shape):

@@ -95,18 +95,41 @@ class Space:
             off += d
         return out
 
+    # --- quantum dimensions (nontrivial only for SU(2) factors) ---------
+    def qdim(self, sector: Sector) -> int:
+        return self.group.qdim(tuple(sector))
+
+    def dense_dim_of(self, sector: Sector) -> int:
+        """Dense dimension of one sector: multiplicity x quantum dimension."""
+        return self.dim_of(sector) * self.group.qdim(tuple(sector))
+
+    @property
+    def dense_dim(self) -> int:
+        return sum(self.dense_dim_of(s) for s, _ in self._items)
+
+    def dense_offsets(self) -> Dict[Sector, int]:
+        """Dense start offsets; within a sector, layout is (mult, m) with the
+        m-axis fastest."""
+        out, off = {}, 0
+        for s, _ in self._items:
+            out[s] = off
+            off += self.dense_dim_of(s)
+        return out
+
     # --- algebra --------------------------------------------------------
     def dual(self) -> "Space":
         g = self.group
         return Space(g, {g.dual(s): d for s, d in self._items})
 
     def fuse(self, other: "Space") -> "Space":
+        """Fused space; for SU(2) factors each coupling outcome contributes
+        multiplicity d1*d2 (SU(2) fusion is multiplicity-free per outcome)."""
         g = self.group
         out: Dict[Sector, int] = {}
         for s1, d1 in self._items:
             for s2, d2 in other._items:
-                s = g.fuse(s1, s2)
-                out[s] = out.get(s, 0) + d1 * d2
+                for s in g.fuse_outcomes(s1, s2):
+                    out[s] = out.get(s, 0) + d1 * d2
         return Space(g, out)
 
     def oplus(self, other: "Space") -> "Space":

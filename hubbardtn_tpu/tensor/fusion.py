@@ -273,18 +273,19 @@ class FusionTensor:
     # structural ops (numeric recoupling)
     # ------------------------------------------------------------------
     def conj(self) -> "FusionTensor":
+        """Complex conjugate: flips all arrows, dualizes the charge, keeps
+        sector labels (same bookkeeping as the abelian SymTensor.conj)."""
         g = self.group
         new_arrows = tuple(not a for a in self.arrows)
         out: Dict[BKey, jnp.ndarray] = {}
         for (key, c, tr), b in self.blocks.items():
-            nkey = tuple(g.dual(q) for q in key)
             nc = g.dual(c)
             tjs = self._tjs(key)
             for ntr, coeff in _conj_coeffs(tjs, self.arrows,
                                            _su2_part(g, c), tr):
                 if abs(coeff) < _COEFF_TOL:
                     continue
-                bk = (nkey, nc, ntr)
+                bk = (key, nc, ntr)
                 v = jnp.conj(b) * coeff
                 out[bk] = out[bk] + v if bk in out else v
         return FusionTensor(g, self.spaces, new_arrows, out,

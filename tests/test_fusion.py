@@ -149,3 +149,75 @@ def test_charged_times_charged_outcomes():
     out = fusion_tensordot(B, Bc, axes=([0, 1], [0, 1]))
     cs = set(c for (_, c, _) in out.blocks.keys())
     assert cs <= {(0, 0), (0, 2)}
+
+
+# ----------------------------------------------------------------------
+# factorizations (fusion_linalg)
+# ----------------------------------------------------------------------
+
+from hubbardtn_tpu.symmetry.groups import FERMION_SU2_CHARGE as GC
+from hubbardtn_tpu.tensor import fusion_linalg as fla
+
+W1 = Space(GC, {(0, 0, -1): 1, (1, 1, 0): 2, (0, 0, 1): 2, (0, 2, 0): 1})
+W2 = Space(GC, {(0, 0, 0): 1, (1, 1, 1): 2, (0, 2, -1): 1})
+
+
+def _matlike_eye_check(QQ, g):
+    for (bk, c, tr), b in QQ.blocks.items():
+        if c != g.trivial:
+            continue
+        q0, q1 = bk
+        bm = np.asarray(b) * fla.mat_coeff(g, q0)
+        assert q0 == q1
+        np.testing.assert_allclose(bm, np.eye(bm.shape[0]), atol=1e-10)
+
+
+def test_fusion_qr_lq_svd_null():
+    T = FusionTensor.random(GC, (W1, W2, W1), (IN, OUT, OUT), seed=5)
+    D = T.to_dense()
+
+    Q, R = fla.qr(T, 2)
+    _matlike_eye_check(fusion_tensordot(Q.conj(), Q, axes=([0, 1], [0, 1])), GC)
+    TR = fusion_tensordot(Q, R, axes=([2], [0])).project_charge(GC.trivial)
+    np.testing.assert_allclose(TR.to_dense(), D, atol=1e-10)
+
+    L, Q2 = fla.lq(T, 1)
+    TR2 = fusion_tensordot(L, Q2, axes=([1], [0])).project_charge(GC.trivial)
+    np.testing.assert_allclose(TR2.to_dense(), D, atol=1e-10)
+
+    U, ss, Vh, bsp = fla.svd(T, 2)
+    mid = fla.diag_tensor(GC, bsp, ss)
+    rec = fusion_tensordot(fusion_tensordot(U, mid, axes=([2], [0])), Vh,
+                           axes=([2], [0])).project_charge(GC.trivial)
+    np.testing.assert_allclose(rec.to_dense(), D, atol=1e-10)
+
+    N = fla.left_null(T, 2)
+    NT = fusion_tensordot(N.conj(), T, axes=([0, 1], [0, 1]))
+    mx = max((float(np.max(np.abs(b))) for b in NT.blocks.values()),
+             default=0.0)
+    assert mx < 1e-10
+    _matlike_eye_check(fusion_tensordot(N.conj(), N, axes=([0, 1], [0, 1])), GC)
+
+
+def test_fusion_identity_and_qdim_trace():
+    I = fla.bond_identity(GC, W1)
+    X = FusionTensor.random(GC, (W1, W2), (IN, OUT), seed=7)
+    IX = fusion_tensordot(I, X, axes=([1], [0])).project_charge(GC.trivial)
+    np.testing.assert_allclose(IX.to_dense(), X.to_dense(), atol=1e-12)
+    # categorical trace of the identity = dense (qdim-weighted) dimension
+    tr = fusion_tensordot(I, fla.bond_identity(GC, W1),
+                          axes=([0, 1], [1, 0])).scalar()
+    assert np.isclose(float(tr), W1.dense_dim, atol=1e-10)
+
+
+def test_fusion_svd_truncate():
+    from hubbardtn_tpu.tensor.linalg import Truncation
+    T = FusionTensor.random(GC, (W1, W2, W1), (IN, OUT, OUT), seed=11)
+    U, ss, Vh, bsp, err = fla.svd_truncate(T, 2, Truncation(max_dim=3))
+    assert sum(d for _, d in bsp) <= 3
+    # discarded weight accounts for qdim multiplicities: reconstruct
+    mid = fla.diag_tensor(GC, bsp, ss)
+    rec = fusion_tensordot(fusion_tensordot(U, mid, axes=([2], [0])), Vh,
+                           axes=([2], [0])).project_charge(GC.trivial)
+    diff = np.linalg.norm(rec.to_dense() - T.to_dense())
+    assert np.isclose(diff, err, rtol=1e-6)

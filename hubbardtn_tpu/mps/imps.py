@@ -35,12 +35,23 @@ from ..tensor import linalg as tla
 from ..tensor.symtensor import IN, OUT, SymTensor, tensordot, trace_all
 
 
+def _tensor_cls(group):
+    if getattr(group, "has_su2", False):
+        from ..tensor.fusion import FusionTensor
+        return FusionTensor
+    return SymTensor
+
+
 def mps_tensor_random(group, vl: Space, p: Space, vr: Space, dtype=jnp.float64,
                       seed: int = 0) -> SymTensor:
-    return SymTensor.random(group, (vl, p, vr), (IN, OUT, OUT), dtype=dtype, seed=seed)
+    return _tensor_cls(group).random(group, (vl, p, vr), (IN, OUT, OUT),
+                                     dtype=dtype, seed=seed)
 
 
 def bond_identity(group, v: Space, dtype=jnp.float64) -> SymTensor:
+    if getattr(group, "has_su2", False):
+        from ..tensor.fusion_linalg import bond_identity as su2_bond_identity
+        return su2_bond_identity(group, v, dtype=dtype)
     blocks = {(q, q): jnp.eye(d, dtype=dtype) for q, d in v}
     return SymTensor(group, (v, v), (IN, OUT), blocks, group.trivial, dtype)
 
@@ -284,4 +295,4 @@ def expectation_local(psi: UniformMPS, x: int, op: SymTensor) -> jnp.ndarray:
     OAC = OAC.transpose((1, 0, 2))
     num = AC.conj()
     val = tensordot(num, OAC, axes=([0, 1, 2], [0, 1, 2]))
-    return val.blocks.get((), jnp.zeros((), dtype=AC.dtype)) if val.blocks else 0.0
+    return val.scalar()

@@ -25,7 +25,7 @@ from ..tensor.symtensor import SymTensor
 
 def full_blocks(t: SymTensor) -> SymTensor:
     """Canonicalize to the complete allowed-block table (missing blocks = 0)."""
-    z = SymTensor.zeros(t.group, t.spaces, t.arrows, t.charge, t.dtype)
+    z = type(t).zeros(t.group, t.spaces, t.arrows, t.charge, t.dtype)
     return z + t
 
 
@@ -35,10 +35,11 @@ class Packer:
     Hashable on the static structure so jitted functions can close over it
     via ``static_argnames``."""
 
-    __slots__ = ("group", "spaces", "arrows", "charge", "dtype", "keys",
+    __slots__ = ("cls", "group", "spaces", "arrows", "charge", "dtype", "keys",
                  "shapes", "sizes", "offsets", "total")
 
     def __init__(self, template: SymTensor):
+        self.cls = type(template)
         self.group = template.group
         self.spaces = template.spaces
         self.arrows = template.arrows
@@ -55,8 +56,8 @@ class Packer:
         self.total = off
 
     def _sig(self):
-        return (id(self.group), self.spaces, self.arrows, self.charge,
-                str(self.dtype), self.keys)
+        return (self.cls, id(self.group), self.spaces, self.arrows,
+                self.charge, str(self.dtype), self.keys)
 
     def __hash__(self):
         return hash(self._sig())
@@ -81,8 +82,8 @@ class Packer:
         for k, shape, size, off in zip(self.keys, self.shapes, self.sizes,
                                        self.offsets):
             blocks[k] = vec[off:off + size].reshape(shape)
-        return SymTensor(self.group, self.spaces, self.arrows, blocks,
-                         self.charge, self.dtype)
+        return self.cls(self.group, self.spaces, self.arrows, blocks,
+                        self.charge, self.dtype)
 
     def random(self, seed: int = 0) -> jnp.ndarray:
         rng = np.random.default_rng(seed)

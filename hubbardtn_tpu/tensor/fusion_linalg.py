@@ -62,6 +62,18 @@ def fuse_isometry(group: AbelianGroup, spaces: Tuple[Space, ...],
     hit = _FUSE_CACHE.get(ck)
     if hit is not None:
         return hit
+    import jax
+    with jax.ensure_compile_time_eval():
+        # the isometry is static structure data; evaluate eagerly even when
+        # first requested inside a jit trace (omnistaging would otherwise
+        # turn its self-normalization gram into tracers)
+        out = _build_fuse_isometry(group, spaces, arrows)
+    _FUSE_CACHE[ck] = out
+    return out
+
+
+def _build_fuse_isometry(group: AbelianGroup, spaces: Tuple[Space, ...],
+                         arrows: Tuple[bool, ...]) -> Tuple[FusionTensor, Space]:
     slot = group.su2_slot
     k = len(spaces)
 
@@ -149,7 +161,6 @@ def fuse_isometry(group: AbelianGroup, spaces: Tuple[Space, ...],
         sigma = bk[0][-1]
         blocks2[bk] = b / np.sqrt(scale[sigma])
     F = FusionTensor(F.group, F.spaces, F.arrows, blocks2, None, F.dtype)
-    _FUSE_CACHE[ck] = (F, bond)
     return F, bond
 
 
@@ -198,9 +209,13 @@ def _left_factor(T, nrows, Fr, bond_r, blocks2d, new_bond: Space):
 
 
 def _right_factor(T, nrows, Fc, bond_c, blocks2d, new_bond: Space):
-    """Assemble (new bond IN, cols...) from per-sector matrices.  The
-    (IN, IN) layout shares its signed-pairing structure with the
-    matricization M2, so blocks are the matrices verbatim."""
+    """Assemble (new bond IN, cols...) from per-sector matrices.
+
+    The (IN, IN) layout shares its signed-pairing structure (scalar
+    c2 = +-1/sqrt(qdim)) with the matricization M2; a matrix Y passed here
+    produces a factor whose dense form is (Y (x) c2*pairing).  Callers that
+    need a dense-row-isometric right factor (lq's Q, svd's Vh) therefore
+    pass Y = matrix * sqrt(qdim) and compensate the left/mid factor."""
     g = T.group
     ncols = T.ndim - nrows
     Rm_blocks = {}
@@ -227,13 +242,17 @@ def qr(T: FusionTensor, nrows: int):
 
 
 def lq(T: FusionTensor, nrows: int):
+    g = T.group
     mats, Fr, Fc, bond_r, bond_c = matricize(T, nrows)
     Ls, Qs, bond = {}, {}, {}
     for s, m in mats.items():
         qt, rt = _qr_reduced(jnp.conj(m.T))
         qt, rt = _pos_diag(qt, rt)
-        Ls[s] = jnp.conj(rt.T)
-        Qs[s] = jnp.conj(qt.T)
+        # split the structure scalar so Q is dense-row-isometric:
+        # L <- L/sqrt(qdim), Q <- Q*sqrt(qdim)  (product unchanged)
+        rq = float(np.sqrt(g.qdim(s)))
+        Ls[s] = jnp.conj(rt.T) / rq
+        Qs[s] = jnp.conj(qt.T) * rq
         bond[s] = qt.shape[1]
     bspace = Space(T.group, bond)
     L = _left_factor(T, nrows, Fr, bond_r, Ls, bspace)
@@ -242,11 +261,15 @@ def lq(T: FusionTensor, nrows: int):
 
 
 def svd(T: FusionTensor, nrows: int):
+    """SVD with U/Vh dense-isometric and ``ss`` the per-multiplet Schmidt
+    values (each appears qdim times in the dense spectrum)."""
+    g = T.group
     mats, Fr, Fc, bond_r, bond_c = matricize(T, nrows)
     Us, ss, Vhs, bond = {}, {}, {}, {}
     for s, m in mats.items():
         u, sv, vh = _svd_thin(m)
-        Us[s], ss[s], Vhs[s] = u, sv, vh
+        rq = float(np.sqrt(g.qdim(s)))
+        Us[s], ss[s], Vhs[s] = u, sv / rq, vh * rq
         bond[s] = u.shape[1]
     bspace = Space(T.group, bond)
     U = _left_factor(T, nrows, Fr, bond_r, Us, bspace)
@@ -266,8 +289,9 @@ def svd_truncate(T: FusionTensor, nrows: int, trunc: Truncation):
     Us, ss, Vhs = {}, {}, {}
     for s, m in mats.items():
         u, sv, vh = _svd_thin(m)
-        Us[s], ss[s], Vhs[s] = u, sv, vh
-    lam_host = {q: np.asarray(s) / np.sqrt(g.qdim(q)) for q, s in ss.items()}
+        rq = float(np.sqrt(g.qdim(s)))
+        Us[s], ss[s], Vhs[s] = u, sv / rq, vh * rq
+    lam_host = {q: np.asarray(s) for q, s in ss.items()}
     counts = trunc.keep_counts(lam_host)
     err_sq = 0.0
     for q, lam in lam_host.items():
@@ -288,6 +312,7 @@ def svd_truncate(T: FusionTensor, nrows: int, trunc: Truncation):
 
 
 def svd_project(T: FusionTensor, nrows: int, bond_space: Space):
+    g = T.group
     mats, Fr, Fc, bond_r, bond_c = matricize(T, nrows)
     Us, ss, Vhs, bond = {}, {}, {}, {}
     for s, m in mats.items():
@@ -296,7 +321,8 @@ def svd_project(T: FusionTensor, nrows: int, bond_space: Space):
             continue
         u, sv, vh = _svd_thin(m)
         kq = min(kq, u.shape[1])
-        Us[s], ss[s], Vhs[s] = u[:, :kq], sv[:kq], vh[:kq, :]
+        rq = float(np.sqrt(g.qdim(s)))
+        Us[s], ss[s], Vhs[s] = u[:, :kq], sv[:kq] / rq, vh[:kq, :] * rq
         bond[s] = kq
     bspace = Space(T.group, bond)
     U = _left_factor(T, nrows, Fr, bond_r, Us, bspace)

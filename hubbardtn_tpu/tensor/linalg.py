@@ -173,6 +173,9 @@ def _pos_diag(q, r):
 
 def qr(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
     """T = Q R with Q an isometry (Q^dag Q = I on the bond)."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.qr(T, nrows)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Qs, Rs, bond = {}, {}, {}
     for r, m in mats.items():
@@ -188,6 +191,9 @@ def qr(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
 
 def lq(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
     """T = L Q with Q having orthonormal rows (Q Q^dag = I on the bond)."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.lq(T, nrows)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Ls, Qs, bond = {}, {}, {}
     for r, m in mats.items():
@@ -204,6 +210,9 @@ def lq(T: SymTensor, nrows: int) -> Tuple[SymTensor, SymTensor]:
 
 def svd(T: SymTensor, nrows: int):
     """Full (untruncated) SVD: returns (U, s_dict, Vh, bond_space)."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.svd(T, nrows)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Us, ss, Vhs, bond = {}, {}, {}, {}
     for r, m in mats.items():
@@ -235,6 +244,9 @@ def eigh(T: SymTensor) -> Tuple[Dict[Sector, jnp.ndarray], SymTensor]:
 
     Returns (eigenvalues per sector, eigenvector tensor V with legs
     (row, bond OUT)) such that T = V diag(w) V^dag."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.eigh(T)
     assert T.ndim == 2
     ws, Vs, bond = {}, {}, {}
     for (q0, q1), b in T.blocks.items():
@@ -292,6 +304,9 @@ class Truncation:
 def svd_truncate(T: SymTensor, nrows: int, trunc: Truncation):
     """Truncated SVD.  Returns (U, s_dict, Vh, bond_space, err) where err is
     the Frobenius norm of the discarded singular values."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.svd_truncate(T, nrows, trunc)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Us, ss, Vhs = {}, {}, {}
     for r, m in mats.items():
@@ -325,6 +340,9 @@ def left_null(T: SymTensor, nrows: int) -> SymTensor:
     Runs on the host through numpy's LAPACK: XLA CPU's complete-mode QR was
     observed to corrupt the heap for some block shapes (glibc malloc aborts
     several calls later), and null spaces are host-driven anyway."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.left_null(T, nrows)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Ns, bond = {}, {}
     for r, m_dim in rowinfo.dims.items():
@@ -370,6 +388,9 @@ def pad_leg(T: SymTensor, leg: int, new_space: Space,
     """Zero-pad one leg into a larger space; old data sits at the per-sector
     ``offsets`` (default 0).  Sectors of T absent from new_space must not
     occur."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.pad_leg(T, leg, new_space, offsets)
     offsets = offsets or {}
     blocks = {}
     for key, b in T.blocks.items():
@@ -405,6 +426,9 @@ def svd_project(T: SymTensor, nrows: int, bond_space: Space):
     """SVD truncated to a *given* bond space (leading Schmidt vectors per
     sector, exactly min(requested, available) states).  Keeps block tables
     fixed — the jit-friendly truncation used inside IDMRG2 sweeps."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.svd_project(T, nrows, bond_space)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Us, ss, Vhs, bond = {}, {}, {}, {}
     for r, m in mats.items():
@@ -423,6 +447,9 @@ def svd_project(T: SymTensor, nrows: int, bond_space: Space):
 
 def diag_tensor(group, bond_space: Space, values: Dict[Sector, jnp.ndarray], dtype=None) -> SymTensor:
     """Diagonal 2-leg tensor (bond IN, bond OUT) from per-sector vectors."""
+    if getattr(group, "has_su2", False):
+        from . import fusion_linalg as _fla
+        return _fla.diag_tensor(group, bond_space, values, dtype)
     blocks = {}
     for q, v in values.items():
         blocks[(q, q)] = jnp.diag(jnp.asarray(v))

@@ -257,6 +257,22 @@ class SymTensor:
                 out[k] = b
         return self._like(out)
 
+    # --- FusionTensor-compatible no-ops (abelian charges are exact) -----
+    def scalar(self):
+        """Value of a fully-contracted (0-leg) tensor."""
+        b = self.blocks.get(())
+        return b if b is not None else jnp.zeros((), dtype=self.dtype)
+
+    def project_charge(self, charge) -> "SymTensor":
+        keep = tuple(charge) if charge and isinstance(charge[0], tuple) \
+            else (tuple(charge),)
+        if self.charge in keep:
+            return self
+        return self._like({}, charge=keep[0])
+
+    def project_like(self, template: "SymTensor") -> "SymTensor":
+        return self.project_charge((template.charge,))
+
     # ------------------------------------------------------------------
     # dense conversion (tests / debugging only)
     # ------------------------------------------------------------------
@@ -295,10 +311,18 @@ class SymTensor:
 # contraction
 # ----------------------------------------------------------------------
 
-def tensordot(A: SymTensor, B: SymTensor, axes) -> SymTensor:
+def tensordot(A, B, axes):
     """Charge-conserving tensordot.  Contracted legs must carry equal sector
     labels and opposite arrows.  Free legs keep their order (A's then B's),
-    matching ``jnp.tensordot`` semantics."""
+    matching ``jnp.tensordot`` semantics.  Dispatches to the fusion-tree
+    engine when operands are FusionTensors (SU(2) groups)."""
+    if not isinstance(A, SymTensor):
+        from .fusion import fusion_tensordot
+        return fusion_tensordot(A, B, axes)
+    return _abelian_tensordot(A, B, axes)
+
+
+def _abelian_tensordot(A: SymTensor, B: SymTensor, axes) -> SymTensor:
     if isinstance(axes, int):
         axA = list(range(A.ndim - axes, A.ndim))
         axB = list(range(axes))

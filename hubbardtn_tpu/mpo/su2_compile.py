@@ -1,0 +1,320 @@
+"""Automatic SU(2) symmetrization of Jordan-Wigner-compiled term lists.
+
+The abelian pipeline (ops/fermions.py) turns every Hamiltonian term into a
+string of purely-local 4x4 matrices with all fermionic signs folded in.
+For the SU(2)-symmetric setting, each *group* of such strings sharing the
+same support and per-site abelian flux sums to an SU(2)-invariant window
+operator (spin rotations act sitewise, so invariance of H forces invariance
+per group).  This module decomposes each group's window operator into
+*coupled strings* — products of irreducible tensor operators from
+ops/sites_su2.op_basis with explicit intermediate charges (the FSM channel
+labels) — by solving a small dense least-squares problem whose basis
+windows are built with the SAME channel-leg contraction the runtime uses.
+Amplitudes therefore absorb every engine normalization by construction,
+and a non-vanishing residual (a non-invariant group or an incomplete
+candidate set) raises instead of producing silently wrong physics.
+
+The result feeds build_mpo_su2: an FSM MPO whose W entries are 4-leg
+FusionTensors (channel IN, p OUT, p IN, channel OUT) with suffix
+deduplication, mirroring mpo/fsm.py.
+
+Reference parity: this replaces MPSKitModels' @mpoham operating on
+SU(2)-symmetric TensorMaps (/root/reference/src/HubbardFunctions.jl:435-469
+and the multi-band term library :477-809).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.fermions import CompiledTerm
+from ..ops.sites import Site
+from ..ops.sites_su2 import (SU2Site, attach_channels, channel_space,
+                             coupler, op_basis)
+from ..symmetry.groups import Sector
+from .fsm import FINAL, INIT, MPOHamiltonian
+
+PathOp = Tuple  # (BasisOp, dense (4,4,qdim) array)
+
+
+@dataclass
+class SU2CompiledTerm:
+    """One coupled string: ops[i] acts at start+i; chain[i] is the channel
+    charge on the bond right of site start+i (chain[-1] is trivial)."""
+
+    coeff: float
+    start: int
+    ops: Tuple                       # tuple of (BasisOp, dense ndarray)
+    chain: Tuple[Sector, ...]        # running charges, len == len(ops)
+    fingerprints: Tuple              # per-site hashable ids (op fp + charge)
+
+    @property
+    def length(self) -> int:
+        return len(self.ops)
+
+
+def _fixed_basis_indices(site_ab: Site) -> List[int]:
+    """For each dense-layout index of the abelian site, the index in the
+    fixed |0>,|up>,|down>,|updown> basis (matched by sector identity)."""
+    sz_of = {}
+    out = []
+    for q, d in site_ab.space:
+        f, two_sz = q[0], q[1]
+        if f == 0:
+            # |0> and |updown> both have sz 0; distinguish by the charge
+            # slot if present, else by multiplicity order (|0> first)
+            if d == 2:
+                out.extend([0, 3])
+                continue
+            # charge slot: |0> has the smaller U1 charge
+            out.append(0 if len(out) == 0 or q == min(
+                s for s, _ in site_ab.space if s[0] == 0) else 3)
+        elif two_sz > 0:
+            out.append(1)
+        else:
+            out.append(2)
+    assert sorted(out) == [0, 1, 2, 3]
+    return out
+
+
+def _ab_to_fixed(site_ab: Site, mat_dense: np.ndarray) -> np.ndarray:
+    idx = _fixed_basis_indices(site_ab)
+    P = np.zeros((4, 4))
+    for new, old in enumerate(idx):
+        P[new, old] = 1.0
+    # mat_dense is in ab layout: fixed = P^T ab P
+    return P.T @ mat_dense @ P
+
+
+def _su2_from_fixed(site: SU2Site, mat_fixed: np.ndarray) -> np.ndarray:
+    return site.to_su2_layout(mat_fixed)
+
+
+def _flux_of(site_ab: Site, op) -> Tuple[int, ...]:
+    """Abelian flux class of a local operator: its charge without the Sz
+    slot (slot 1 of the fZ2 x U1sz x U1c group)."""
+    c = op.charge
+    if len(c) == 3:
+        return (c[0], c[2])
+    return (c[0],)
+
+
+def _path_window(chain_ops: Sequence[np.ndarray],
+                 chain_K: Sequence[np.ndarray]) -> np.ndarray:
+    """Dense window operator of a coupled string, contracted exactly like
+    the runtime channel legs: vec over channel m-space."""
+    cur = np.ones((1, 1, 1))  # (chan, row, col)
+    for od, K in zip(chain_ops, chain_K):
+        W = np.einsum("pqM,aMb->apqb", od, K)
+        D = cur.shape[1]
+        cur = np.einsum("aij,apqb->bipjq", cur, W).reshape(
+            K.shape[2], D * od.shape[0], D * od.shape[1])
+    assert cur.shape[0] == 1
+    return cur[0]
+
+
+def symmetrize_terms(site_ab: Site, site: SU2Site,
+                     compiled: Sequence[CompiledTerm],
+                     tol: float = 1e-9) -> List[SU2CompiledTerm]:
+    """Decompose JW-compiled abelian terms into SU(2) coupled strings."""
+    g = site.group
+    basis = op_basis(site)
+    # charge lookup by abelian flux class
+    by_flux: Dict[Tuple, List] = {}
+    for c, elems in basis.items():
+        fl = (c[0], c[2]) if len(c) == 3 else (c[0],)
+        by_flux.setdefault(fl, []).extend(elems)
+
+    # group terms by (start, per-site flux)
+    groups: Dict[Tuple, List[CompiledTerm]] = {}
+    for ct in compiled:
+        fluxes = tuple(_flux_of(site_ab, m) for m in ct.mats)
+        groups.setdefault((ct.start, fluxes), []).append(ct)
+
+    out: List[SU2CompiledTerm] = []
+    for (start, fluxes), cts in sorted(groups.items()):
+        L = len(fluxes)
+        # target dense window in the SU(2) layout
+        target = None
+        for ct in cts:
+            mats = [
+                _su2_from_fixed(site, _ab_to_fixed(site_ab,
+                                                   np.asarray(m.to_dense())))
+                for m in ct.mats]
+            w = np.eye(1)
+            for m in mats:
+                w = np.kron(w, m)
+            w = w * ct.coeff
+            target = w if target is None else target + w
+        tn = np.linalg.norm(target)
+        if tn < 1e-14:
+            continue
+
+        # candidate coupled strings
+        paths: List[Tuple[Tuple, Tuple[Sector, ...]]] = []
+
+        def rec(i, u, ops_acc, chain_acc):
+            if i == L:
+                if u == g.trivial:
+                    paths.append((tuple(ops_acc), tuple(chain_acc)))
+                return
+            for (bop, t, dense) in by_flux.get(fluxes[i], ()):
+                for u2 in g.fuse_outcomes(u, bop.charge):
+                    if i == L - 1 and u2 != g.trivial:
+                        continue
+                    rec(i + 1, u2, ops_acc + [(bop, dense)],
+                        chain_acc + [u2])
+
+        rec(0, g.trivial, [], [])
+        if not paths:
+            raise ValueError(f"no SU(2) coupled strings for fluxes {fluxes}")
+        assert len(paths) < 20000, "candidate path explosion"
+
+        # basis windows via the runtime channel contraction
+        cols = []
+        for ops_acc, chain_acc in paths:
+            Ks = []
+            u = g.trivial
+            for (bop, dense), u2 in zip(ops_acc, chain_acc):
+                Ks.append(coupler(g, u, bop.charge, u2))
+                u = u2
+            cols.append(_path_window([d for _, d in ops_acc], Ks).ravel())
+        A = np.stack(cols, axis=1)
+        amps, _, _, _ = np.linalg.lstsq(A, target.ravel(), rcond=None)
+        resid = np.linalg.norm(A @ amps - target.ravel())
+        if resid > tol * max(1.0, tn):
+            raise ValueError(
+                f"SU(2) symmetrization failed for group start={start}, "
+                f"fluxes={fluxes}: residual {resid:.3e} (non-invariant "
+                f"term family or incomplete operator basis)")
+
+        for (ops_acc, chain_acc), a in zip(paths, amps):
+            if abs(a) < tol:
+                continue
+            fps = tuple(
+                (bop.charge, bop.fingerprint, u2)
+                for (bop, _), u2 in zip(ops_acc, chain_acc))
+            out.append(SU2CompiledTerm(float(np.real_if_close(a)), start,
+                                       tuple(ops_acc), tuple(chain_acc), fps))
+    return out
+
+
+# ----------------------------------------------------------------------
+# FSM build (channel-leg MPO)
+# ----------------------------------------------------------------------
+
+def build_mpo_su2(site: SU2Site, T: int,
+                  terms: Sequence[SU2CompiledTerm]) -> MPOHamiltonian:
+    """FSM MPO with explicit channel legs; mirrors mpo/fsm.build_mpo."""
+    g = site.group
+    edges: List[Dict[Tuple, object]] = [dict() for _ in range(T)]
+    start_edges: List[Dict[Tuple, object]] = [dict() for _ in range(T)]
+    inter_labels: List[set] = [set() for _ in range(T)]
+    label_charge: Dict[Tuple, Sector] = {}
+
+    def w4(bop_dense, c, qa, qb, scale=1.0):
+        return attach_channels(g, bop_dense * scale, site.space, qa, c, qb)
+
+    def add_start(x, lbl_b, W):
+        key = (INIT, lbl_b)
+        if key in start_edges[x]:
+            start_edges[x][key] = start_edges[x][key] + W
+        else:
+            start_edges[x][key] = W
+
+    def set_cont(x, lbl_a, lbl_b, W):
+        key = (lbl_a, lbl_b)
+        if key not in edges[x]:
+            edges[x][key] = W
+
+    triv = g.trivial
+    for ct in terms:
+        s = ct.start % T
+        L = ct.length
+        if L == 1:
+            (bop, dense) = ct.ops[0]
+            add_start(s, FINAL, w4(dense, bop.charge, triv, triv, ct.coeff))
+            continue
+        labels = []
+        for j in range(L - 1):
+            bond = (s + j + 1) % T
+            suffix = ct.fingerprints[j + 1:]
+            lbl = ("S", bond, suffix, ct.chain[j])
+            labels.append(lbl)
+            inter_labels[bond].add(lbl)
+            label_charge[lbl] = ct.chain[j]
+        (b0, d0) = ct.ops[0]
+        add_start(s, labels[0], w4(d0, b0.charge, triv, ct.chain[0], ct.coeff))
+        for j in range(1, L - 1):
+            (bj, dj) = ct.ops[j]
+            set_cont((s + j) % T, labels[j - 1], labels[j],
+                     w4(dj, bj.charge, ct.chain[j - 1], ct.chain[j]))
+        (bl, dl) = ct.ops[L - 1]
+        set_cont((s + L - 1) % T, labels[L - 2], FINAL,
+                 w4(dl, bl.charge, ct.chain[L - 2], triv))
+
+    index: List[Dict[Tuple, int]] = []
+    n_channels: List[int] = []
+    charges: List[List[Sector]] = []
+    for bond in range(T):
+        inters = sorted(inter_labels[bond])
+        idx = {INIT: 0}
+        ch = [triv]
+        for i, lbl in enumerate(inters):
+            idx[lbl] = i + 1
+            ch.append(label_charge[lbl])
+        idx[FINAL] = len(inters) + 1
+        ch.append(triv)
+        index.append(idx)
+        n_channels.append(len(inters) + 2)
+        charges.append(ch)
+
+    ident = site.op("id")
+    ident_dense = np.asarray(ident.to_dense())[..., None]
+    Ws: List[Dict[Tuple[int, int], object]] = []
+    for x in range(T):
+        bond_a, bond_b = x, (x + 1) % T
+        W: Dict[Tuple[int, int], object] = {}
+        W[(0, 0)] = attach_channels(g, ident_dense, site.space, triv, triv,
+                                    triv)
+        W[(index[bond_a][FINAL], index[bond_b][FINAL])] = W[(0, 0)]
+        for (la, lb), op in start_edges[x].items():
+            W[(0, index[bond_b][lb])] = op
+        for (la, lb), op in edges[x].items():
+            W[(index[bond_a][la], index[bond_b][lb])] = op
+        Ws.append(W)
+
+    max_len = max((ct.length for ct in terms), default=1)
+    return MPOHamiltonian(site, T, n_channels, charges, Ws, max_len)
+
+
+def su2_dense_window(H: MPOHamiltonian, n_sites: int) -> np.ndarray:
+    """Dense Hamiltonian of an open n-site window (channel-leg variant of
+    MPOHamiltonian.to_dense_window); testing only."""
+    d = H.site.space.dense_dim
+    vec: Dict[int, np.ndarray] = {0: np.ones((1, 1, 1))}
+    for x in range(n_sites):
+        W = H.Ws[x % H.T]
+        new: Dict[int, np.ndarray] = {}
+        for (a, b), op in W.items():
+            if a not in vec:
+                continue
+            Wd = np.asarray(op.to_dense())          # (ma, p, q, mb)
+            cur = vec[a]
+            D = cur.shape[1]
+            contrib = np.einsum("aij,apqb->bipjq", cur, Wd).reshape(
+                Wd.shape[3], D * d, D * d)
+            if b in new:
+                new[b] = new[b] + contrib
+            else:
+                new[b] = contrib
+        vec = new
+    f = H.idx_final(n_sites % H.T)
+    got = vec.get(f)
+    if got is None:
+        return np.zeros((d ** n_sites, d ** n_sites))
+    assert got.shape[0] == 1
+    return got[0]

@@ -40,10 +40,11 @@ from ..tensor.symtensor import IN, OUT, SymTensor, tensordot
 
 def pair_envs(GL: SymTensor, GR: SymTensor) -> jnp.ndarray:
     """Scalar tr(GL . GR): close a left and right environment on one bond."""
-    out = tensordot(GL, GR, axes=([1, 0], [0, 1]))
-    if not out.blocks:
-        return jnp.zeros((), dtype=GL.dtype)
-    return out.blocks[()]
+    if GL.ndim == 3:  # SU(2): explicit channel legs close too
+        out = tensordot(GL, GR, axes=([1, 0, 2], [0, 1, 2]))
+    else:
+        out = tensordot(GL, GR, axes=([1, 0], [0, 1]))
+    return out.scalar()
 
 
 def _acc(out: Dict[int, SymTensor], b: int, contrib: SymTensor):
@@ -63,9 +64,15 @@ def mpo_transfer_left(GL: Dict[int, SymTensor], W, A: SymTensor,
         X = GL.get(a)
         if X is None or not X.blocks:
             continue
-        Y = tensordot(X, A, axes=([1], [0]))       # (bra, p, k')
-        Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, bra, k')
-        _acc(out, b, tensordot(Bc, Y, axes=([0, 1], [1, 0])))
+        if op.ndim == 4:
+            Y = tensordot(X, A, axes=([1], [0]))        # (bra, ch, p, k')
+            Y = tensordot(op, Y, axes=([0, 2], [1, 2])) # (p_out, chb, bra, k')
+            Z = tensordot(Bc, Y, axes=([0, 1], [2, 0])) # (bra', chb, k')
+            _acc(out, b, Z.transpose((0, 2, 1)))        # (bra', k', chb)
+        else:
+            Y = tensordot(X, A, axes=([1], [0]))       # (bra, p, k')
+            Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, bra, k')
+            _acc(out, b, tensordot(Bc, Y, axes=([0, 1], [1, 0])))
     return out
 
 
@@ -78,10 +85,16 @@ def mpo_transfer_right(GR: Dict[int, SymTensor], W, A: SymTensor,
         X = GR.get(b)
         if X is None or not X.blocks:
             continue
-        Y = tensordot(A, X, axes=([2], [0]))       # (vl, p, bra)
-        Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, vl, bra)
-        # contract p_out with bra p, bra leg with bra vr -> (ket IN, bra OUT)
-        _acc(out, a, tensordot(Y, Bc, axes=([0, 2], [1, 2])))
+        if op.ndim == 4:
+            Y = tensordot(A, X, axes=([2], [0]))        # (vl, p, bra, ch)
+            Y = tensordot(op, Y, axes=([3, 2], [3, 1])) # (cha, p_out, vl, bra)
+            Z = tensordot(Y, Bc, axes=([1, 3], [1, 2])) # (cha, vl=ket', bra')
+            _acc(out, a, Z.transpose((1, 2, 0)))        # (ket', bra', cha)
+        else:
+            Y = tensordot(A, X, axes=([2], [0]))       # (vl, p, bra)
+            Y = tensordot(op, Y, axes=([1], [1]))      # (p_out, vl, bra)
+            # contract p_out with bra p, bra leg with bra vr
+            _acc(out, a, tensordot(Y, Bc, axes=([0, 2], [1, 2])))
     return out
 
 
@@ -96,12 +109,25 @@ def rho_left(C: SymTensor) -> SymTensor:
 
 
 def _zero_env_left(group, V: Space, charges, dtype) -> Dict[int, SymTensor]:
+    if getattr(group, "has_su2", False):
+        from ..ops.sites_su2 import channel_space
+        from ..tensor.fusion import FusionTensor
+        return {a: FusionTensor.zeros(group,
+                                      (V, V, channel_space(group, qa)),
+                                      (IN, OUT, IN), dtype=dtype)
+                for a, qa in enumerate(charges)}
     return {a: SymTensor.zeros(group, (V, V), (IN, OUT), charge=qa, dtype=dtype)
             for a, qa in enumerate(charges)}
 
 
 def _zero_env_right(group, V: Space, charges, dtype) -> Dict[int, SymTensor]:
     g = group
+    if getattr(g, "has_su2", False):
+        from ..ops.sites_su2 import channel_space
+        from ..tensor.fusion import FusionTensor
+        return {b: FusionTensor.zeros(g, (V, V, channel_space(g, qb)),
+                                      (IN, OUT, OUT), dtype=dtype)
+                for b, qb in enumerate(charges)}
     return {b: SymTensor.zeros(g, (V, V), (IN, OUT), charge=g.dual(qb),
                                dtype=dtype)
             for b, qb in enumerate(charges)}
@@ -220,6 +246,10 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     dtype = psi.ALs[0].dtype
     g = psi.group
     I0 = bond_identity(g, psi.ALs[0].spaces[0], dtype=dtype)
+    su2 = getattr(g, "has_su2", False)
+    if su2:
+        from ..tensor.fusion import append_trivial_leg
+        I0 = append_trivial_leg(I0, IN)
     fin = H.idx_final(0)
     ALt = tuple(psi.ALs)
     Wt = tuple(H.Ws)
@@ -231,6 +261,9 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
                              n_sweeps=n_sweeps, fin=fin)
 
     rho = rho_right(psi.Cs[T - 1])
+    if su2:
+        from ..tensor.fusion import append_trivial_leg
+        rho = append_trivial_leg(rho, OUT)
     tr_rho = pair_envs(I0, rho)
     e = pair_envs(CF, rho) / tr_rho
 
@@ -258,6 +291,10 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     dtype = psi.ARs[0].dtype
     g = psi.group
     I0 = bond_identity(g, psi.ARs[T - 1].spaces[2], dtype=dtype)
+    su2 = getattr(g, "has_su2", False)
+    if su2:
+        from ..tensor.fusion import append_trivial_leg
+        I0 = append_trivial_leg(I0, OUT)
     ARt = tuple(psi.ARs)
     Wt = tuple(H.Ws)
 
@@ -270,6 +307,9 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     GR0, CI = _presweep_right(templates[T - 1], Wt, ARt, I0, n_sweeps=n_sweeps)
 
     sig = rho_left(psi.Cs[T - 1])
+    if su2:
+        from ..tensor.fusion import append_trivial_leg
+        sig = append_trivial_leg(sig, IN)
     tr_sig = pair_envs(sig, I0)
     e = pair_envs(sig, CI) / tr_sig
 

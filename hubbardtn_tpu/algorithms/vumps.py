@@ -31,19 +31,28 @@ from .environments import Environments
 def apply_H_AC(GL: Dict[int, SymTensor], W, GR: Dict[int, SymTensor],
                AC: SymTensor) -> SymTensor:
     """Effective one-site Hamiltonian: sum over FSM transitions (a,b) of
-    GL[a] . W[(a,b)] . AC . GR[b]."""
+    GL[a] . W[(a,b)] . AC . GR[b].
+
+    SU(2) path (4-leg W with explicit channel legs; GL = (bra IN, ket OUT,
+    ch IN), GR = (ket IN, bra OUT, ch OUT)) dispatches on op.ndim."""
     out: Optional[SymTensor] = None
     for (a, b), op in W.items():
         X = GL.get(a)
         R = GR.get(b)
         if X is None or R is None or not X.blocks or not R.blocks:
             continue
-        Y = tensordot(X, AC, axes=([1], [0]))        # (bra_l, p, r)
-        Y = tensordot(op, Y, axes=([1], [1]))        # (p_out, bra_l, r)
-        Y = tensordot(Y, R, axes=([2], [0]))         # (p_out, bra_l, bra_r)
+        if op.ndim == 4:
+            Y = tensordot(X, AC, axes=([1], [0]))     # (bra, ch, p, vr)
+            Y = tensordot(op, Y, axes=([0, 2], [1, 2]))  # (p_out, chb, bra, vr)
+            Y = tensordot(Y, R, axes=([3, 1], [0, 2]))   # (p_out, bra_l, bra_r)
+        else:
+            Y = tensordot(X, AC, axes=([1], [0]))        # (bra_l, p, r)
+            Y = tensordot(op, Y, axes=([1], [1]))        # (p_out, bra_l, r)
+            Y = tensordot(Y, R, axes=([2], [0]))         # (p_out, bra_l, bra_r)
         Y = Y.transpose((1, 0, 2))                   # (bra_l, p_out, bra_r)
         out = Y if out is None else out + Y
-    return out if out is not None else AC * 0.0
+    out = out if out is not None else AC * 0.0
+    return out.project_like(AC)
 
 
 def apply_H_C(GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
@@ -55,10 +64,15 @@ def apply_H_C(GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
         R = GR.get(a)
         if R is None or not X.blocks or not R.blocks:
             continue
-        Y = tensordot(X, C, axes=([1], [0]))         # (bra_l, r)
-        Y = tensordot(Y, R, axes=([1], [0]))         # (bra_l, bra_r)
+        if X.ndim == 3:
+            Y = tensordot(X, C, axes=([1], [0]))     # (bra_l, ch, r)
+            Y = tensordot(Y, R, axes=([2, 1], [0, 2]))  # (bra_l, bra_r)
+        else:
+            Y = tensordot(X, C, axes=([1], [0]))         # (bra_l, r)
+            Y = tensordot(Y, R, axes=([1], [0]))         # (bra_l, bra_r)
         out = Y if out is None else out + Y
-    return out if out is not None else C * 0.0
+    out = out if out is not None else C * 0.0
+    return out.project_like(C)
 
 
 def apply_H_AC2(GL: Dict[int, SymTensor], W0, W1, GR: Dict[int, SymTensor],
@@ -78,13 +92,23 @@ def apply_H_AC2(GL: Dict[int, SymTensor], W0, W1, GR: Dict[int, SymTensor],
             R = GR.get(b)
             if R is None or not R.blocks:
                 continue
-            Y = tensordot(X, AC2, axes=([1], [0]))    # (bra_l, p0, p1, r)
-            Y = tensordot(op0, Y, axes=([1], [1]))    # (q0, bra_l, p1, r)
-            Y = tensordot(op1, Y, axes=([1], [2]))    # (q1, q0, bra_l, r)
-            Y = tensordot(Y, R, axes=([3], [0]))      # (q1, q0, bra_l, bra_r)
+            if op0.ndim == 4:
+                Y = tensordot(X, AC2, axes=([1], [0]))   # (bra, ch, p0, p1, vr)
+                Y = tensordot(op0, Y, axes=([0, 2], [1, 2]))
+                # (q0, chm, bra, p1, vr)
+                Y = tensordot(op1, Y, axes=([0, 2], [1, 3]))
+                # (q1, chb, q0, bra, vr)
+                Y = tensordot(Y, R, axes=([4, 1], [0, 2]))
+                # (q1, q0, bra_l, bra_r)
+            else:
+                Y = tensordot(X, AC2, axes=([1], [0]))    # (bra_l, p0, p1, r)
+                Y = tensordot(op0, Y, axes=([1], [1]))    # (q0, bra_l, p1, r)
+                Y = tensordot(op1, Y, axes=([1], [2]))    # (q1, q0, bra_l, r)
+                Y = tensordot(Y, R, axes=([3], [0]))      # (q1, q0, bra_l, bra_r)
             Y = Y.transpose((2, 1, 0, 3))             # (bra_l, q0, q1, bra_r)
             out = Y if out is None else out + Y
-    return out if out is not None else AC2 * 0.0
+    out = out if out is not None else AC2 * 0.0
+    return out.project_like(AC2)
 
 
 @partial(jax.jit, static_argnames=("packer",))

@@ -59,18 +59,27 @@ class OBSim(Simulation):
     spin: bool = False
     U13: Tuple[float, ...] = ()
     JMs: Tuple[float, float] = (0.0, 0.0)
+    # True: genuine non-abelian SU(2) spin symmetry (fusion-tree backend),
+    # the reference's spin=False setting; False: its U(1)-Sz subgroup.
+    su2: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "t", tuple(float(x) for x in self.t))
         object.__setattr__(self, "u", tuple(float(x) for x in self.u))
         object.__setattr__(self, "J", tuple(float(x) for x in self.J))
         object.__setattr__(self, "U13", tuple(float(x) for x in self.U13))
+        if self.su2 and self.spin:
+            raise ValueError("su2=True is the spin-symmetric setting; "
+                             "spin=True selects the U(1)xU(1) basis")
 
     @property
     def T(self) -> int:
         return unit_cell(self.P, self.Q)
 
-    def site(self) -> Site:
+    def site(self):
+        if self.su2:
+            from ..ops.sites_su2 import canonical_su2_site
+            return canonical_su2_site(self.P, self.Q)
         return canonical_site(self.P, self.Q)
 
     def name(self) -> str:
@@ -360,9 +369,22 @@ def multi_band_terms(sim) -> List[Term]:
     return out
 
 
+def _su2_mpo(sim, terms) -> MPOHamiltonian:
+    """SU(2) path: JW-compile in the abelian basis, auto-symmetrize into
+    coupled strings, emit the channel-leg FSM MPO (mpo/su2_compile.py)."""
+    from ..mpo.su2_compile import build_mpo_su2, symmetrize_terms
+    from ..ops.fermions import compile_terms
+    ab_site = canonical_site(sim.P, sim.Q)
+    su_site = sim.site()
+    su_terms = symmetrize_terms(ab_site, su_site, compile_terms(ab_site, terms))
+    return build_mpo_su2(su_site, sim.T, su_terms)
+
+
 def hamiltonian(sim) -> MPOHamiltonian:
     """Compile a simulation's Hamiltonian to an FSM MPO."""
     if isinstance(sim, OBSim):
+        if sim.su2:
+            return _su2_mpo(sim, one_band_terms(sim))
         return mpo_from_terms(sim.site(), sim.T, one_band_terms(sim))
     if isinstance(sim, OBCSim):
         if sim.mu is None:

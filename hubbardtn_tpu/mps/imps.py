@@ -273,18 +273,27 @@ def transfer_left(X: SymTensor, A: SymTensor, Abar_of: SymTensor) -> SymTensor:
     """X'[b',k'] = sum_{b,k,p} X[b,k] A[k,p,k'] conj(B)[b,p,b'].
 
     X legs (bra IN, ket OUT); A the ket tensor; Abar_of the *ket-form*
-    tensor whose conjugate is contracted on the bra side."""
-    Y = tensordot(X, A, axes=([1], [0]))            # (b, p, k')
+    tensor whose conjugate is contracted on the bra side.  A 3-leg X
+    (bra IN, ket OUT, channel) passes the dangling channel leg through."""
     B = Abar_of.conj()                               # (vl OUT, p IN, vr IN)
+    if X.ndim == 3:
+        Y = tensordot(X, A, axes=([1], [0]))         # (b, ch, p, k')
+        Z = tensordot(B, Y, axes=([0, 1], [0, 2]))   # (b', ch, k')
+        return Z.transpose((0, 2, 1))                # (b', k', ch)
+    Y = tensordot(X, A, axes=([1], [0]))            # (b, p, k')
     return tensordot(B, Y, axes=([0, 1], [0, 1]))    # (b' IN, k' OUT)
 
 
 def transfer_right(X: SymTensor, A: SymTensor, Abar_of: SymTensor) -> SymTensor:
     """X'[k',b'] = sum_{k,b,p} A[k',p,k] X[k,b] conj(B)[b',p,b].
 
-    X legs (ket IN, bra OUT)."""
-    Y = tensordot(A, X, axes=([2], [0]))             # (k', p, b)
+    X legs (ket IN, bra OUT); a 3-leg X passes its channel leg through."""
     B = Abar_of.conj()
+    if X.ndim == 3:
+        Y = tensordot(A, X, axes=([2], [0]))         # (k', p, b, ch)
+        Z = tensordot(Y, B, axes=([1, 2], [1, 2]))   # (k', ch, b')
+        return Z.transpose((0, 2, 1))                # (k', b', ch)
+    Y = tensordot(A, X, axes=([2], [0]))             # (k', p, b)
     return tensordot(Y, B, axes=([1, 2], [1, 2]))    # (k' IN, b' OUT)
 
 

@@ -601,6 +601,22 @@ def fusion_tensordot(A: FusionTensor, B: FusionTensor, axes) -> FusionTensor:
     )
 
 
+def append_trivial_leg(t: FusionTensor, arrow: bool) -> FusionTensor:
+    """Append a trivial-sector multiplicity-1 leg (e.g. the INIT/FINAL MPO
+    channel).  Fusing with the trivial rep leaves tree data unchanged; the
+    new tree label gains the total-spin entry and blocks a size-1 axis."""
+    g = t.group
+    slot = g.su2_slot
+    sp = Space(g, {g.trivial: 1})
+    blocks = {}
+    for (key, c, tr), b in t.blocks.items():
+        n = len(key)
+        ntr = tr + ((c[slot],) if n >= 2 else ())
+        blocks[(key + (g.trivial,), c, ntr)] = b[..., None]
+    return FusionTensor(g, t.spaces + (sp,), t.arrows + (bool(arrow),),
+                        blocks, t.charges, t.dtype)
+
+
 # ----------------------------------------------------------------------
 # pytree registration
 # ----------------------------------------------------------------------

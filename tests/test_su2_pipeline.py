@@ -1,0 +1,78 @@
+"""SU(2) fusion-tree pipeline: symmetrized MPO + VUMPS ground state.
+
+Gate: the channel-leg SU(2) MPO must reproduce the abelian (U(1)-Sz) MPO's
+dense Hamiltonian windows exactly, and the SU(2) VUMPS path must reproduce
+the reference golden energy (test/OB.jl:21-31) like the abelian path does.
+"""
+
+import numpy as np
+import pytest
+
+from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian, one_band_terms
+from hubbardtn_tpu.mpo.fsm import mpo_from_terms
+from hubbardtn_tpu.mpo.su2_compile import (_fixed_basis_indices,
+                                           build_mpo_su2, su2_dense_window,
+                                           symmetrize_terms)
+from hubbardtn_tpu.ops.fermions import compile_terms
+from hubbardtn_tpu.ops.sites import canonical_site
+from hubbardtn_tpu.ops.sites_su2 import canonical_su2_site
+
+
+def _window_check(sim, P, Q, windows):
+    terms = one_band_terms(sim)
+    ab_site = canonical_site(P, Q)
+    su_site = canonical_su2_site(P, Q)
+    su_terms = symmetrize_terms(ab_site, su_site, compile_terms(ab_site, terms))
+    H_ab = mpo_from_terms(ab_site, sim.T, terms)
+    H_su = build_mpo_su2(su_site, sim.T, su_terms)
+    idx_ab = _fixed_basis_indices(ab_site)
+    P_ab = np.zeros((4, 4))
+    for new, old in enumerate(idx_ab):
+        P_ab[new, old] = 1.0
+    P_su = np.zeros((4, 4))
+    for new, old in enumerate(su_site.perm):
+        P_su[new, old] = 1.0
+    Pc = P_su @ P_ab.T
+    for n in windows:
+        Wab = np.real(np.asarray(H_ab.to_dense_window(n)))
+        K = np.eye(1)
+        for _ in range(n):
+            K = np.kron(K, Pc)
+        Wsu = su2_dense_window(H_su, n)
+        np.testing.assert_allclose(K @ Wab @ K.T, Wsu, atol=1e-10)
+
+
+def test_su2_mpo_window_matches_abelian_basic():
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+    _window_check(sim, 1, 1, (2, 3, 4))
+
+
+def test_su2_mpo_window_matches_abelian_rich():
+    sim = OBSim(t=(1.0, 0.3), u=(5.0, 1.0), J=(0.4,), U13=(0.2,), P=1, Q=1)
+    _window_check(sim, 1, 1, (3,))
+
+
+def test_su2_mpo_window_fractional_filling():
+    sim = OBSim(t=(1.0,), u=(2.0,), P=3, Q=2)
+    _window_check(sim, 3, 2, (4,))
+
+
+@pytest.mark.slow
+def test_su2_vumps_golden_u2():
+    """Reference test/OB.jl:21-31 golden E(u=2) via the SU(2) backend."""
+    from hubbardtn_tpu.algorithms.vumps import vumps
+    from hubbardtn_tpu.mps.imps import initialize_mps
+
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=4,
+                         seed=3)
+    res = vumps(psi, H, tol=1e-7, maxiter=60)
+    assert abs(res.energy - (-0.84163698)) < 1e-2
+    # same physics as the abelian backend at comparable effective bond
+    sim_ab = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+    H_ab = hamiltonian(sim_ab)
+    psi_ab = initialize_mps(H_ab.site.group, H_ab.site.space, sim_ab.T,
+                            bond_dim=5, seed=3)
+    res_ab = vumps(psi_ab, H_ab, tol=1e-7, maxiter=60)
+    assert abs(res.energy - res_ab.energy) < 5e-3

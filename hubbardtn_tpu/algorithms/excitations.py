@@ -48,12 +48,18 @@ def _zero_like_env(template: Dict[int, SymTensor], q: Sector, group,
                    spaces) -> Dict[int, SymTensor]:
     """Zero environment dict with an extra ket-side charge q and explicit
     (bra_space, ket_space) legs — the mixed AL/AR environments of the
-    excitation live between *different* gauge bases."""
+    excitation live between *different* gauge bases.
+
+    SU(2): channel legs stay explicit (3-leg templates, trivial tensor
+    charge); the excitation charge q is the tensor's hidden charge — the
+    only non-neutral object in the network, so all fusions stay
+    single-valued."""
     out = {}
     for a, t in template.items():
-        out[a] = SymTensor.zeros(t.group, spaces, t.arrows,
-                                 charge=group.fuse(t.charge, q),
-                                 dtype=jnp.complex128)
+        sp = tuple(spaces) + ((t.spaces[2],) if t.ndim == 3 else ())
+        charge = q if t.ndim == 3 else group.fuse(t.charge, q)
+        out[a] = type(t).zeros(t.group, sp, t.arrows, charge=charge,
+                               dtype=jnp.complex128)
     return out
 
 
@@ -78,13 +84,20 @@ def _shifted_mpo(H: MPOHamiltonian, e_site: float) -> MPOHamiltonian:
     excitation matrix elements carry their -e subtraction automatically and
     the effective eigenvalues are excitation energies directly."""
     ident = H.site.op("id")
+    g = H.site.group
+    if getattr(g, "has_su2", False):
+        from ..ops.sites_su2 import attach_channels
+        ident_dense = np.asarray(ident.to_dense())[..., None]
+        shift0 = attach_channels(g, ident_dense * (-e_site), H.site.space,
+                                 g.trivial, g.trivial, g.trivial)
+    else:
+        shift0 = ident * (-e_site)
     Ws = []
     for x in range(H.T):
         W = dict(H.Ws[x])
         # on-site shift rides the (INIT at bond x) -> (FINAL at bond x+1) edge
         key = (0, H.n_channels[(x + 1) % H.T] - 1)
-        shift = ident * (-e_site)
-        W[key] = W[key] + shift if key in W else shift
+        W[key] = W[key] + shift0 if key in W else shift0
         Ws.append(W)
     return MPOHamiltonian(H.site, H.T, H.n_channels, H.charges, Ws, H.max_len)
 
@@ -128,12 +141,13 @@ class QuasiparticleProblem:
         self.NLs = [tla.left_null(self.ALs[x], 2) for x in range(self.T)]
         g = self.group
         self.Xt: List[SymTensor] = []
+        cls = type(self.ALs[0])
         for x in range(self.T):
             nl = self.NLs[x].spaces[2]
             vr = self.ARs[x].spaces[2]
-            self.Xt.append(SymTensor.zeros(g, (nl, vr), (IN, OUT),
-                                           charge=self.q,
-                                           dtype=jnp.complex128))
+            self.Xt.append(cls.zeros(g, (nl, vr), (IN, OUT),
+                                     charge=self.q,
+                                     dtype=jnp.complex128))
         self.n_params = sum(
             sum(int(np.prod(t.key_shape(k))) for k in t.allowed_keys())
             for t in self.Xt)
@@ -176,8 +190,17 @@ class QuasiparticleProblem:
         self.RB_t = self.RB_ts[T - 1]
         self.lb_packer = TreePacker(self.LB_t, dtype=jnp.complex128)
         self.rb_packer = TreePacker(self.RB_t, dtype=jnp.complex128)
-        # unit-eigenvalue data (trivial sector): mixed-transfer eigvec = C
-        self.C0 = self.Cs[self.T - 1]
+        # unit-eigenvalue data (trivial sector): mixed-transfer eigvec = C.
+        # In SU(2) mode the environments carry explicit channel legs, so the
+        # projector vector gets a trivial channel appended per side.
+        C0 = self.Cs[self.T - 1]
+        if getattr(g, "has_su2", False):
+            from ..tensor.fusion import append_trivial_leg
+            self.C0L = append_trivial_leg(C0, False)   # GL-like: ch IN
+            self.C0R = append_trivial_leg(C0, True)    # GR-like: ch OUT
+        else:
+            self.C0L = self.C0R = C0
+        self.C0 = C0
 
     def Bs_from_X(self, Xs: List[SymTensor]) -> List[SymTensor]:
         return [tensordot(self.NLs[x], Xs[x], axes=([2], [0]))
@@ -186,7 +209,7 @@ class QuasiparticleProblem:
 
 def SymTensorFull(t: SymTensor) -> SymTensor:
     """Zero tensor with the complete allowed-block table (stable pytree)."""
-    return SymTensor.zeros(t.group, t.spaces, t.arrows, t.charge, t.dtype)
+    return type(t).zeros(t.group, t.spaces, t.arrows, t.charge, t.dtype)
 
 
 # ----------------------------------------------------------------------
@@ -256,13 +279,13 @@ def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
     nrmC = prob.C0.inner(prob.C0)
     if project:
         CB = dict(CB)
-        CB[0] = _proj_out(CB[0], prob.C0, nrmC)
+        CB[0] = _proj_out(CB[0], prob.C0L, nrmC)
     rhs = prob.lb_packer.pack(
         jax.tree_util.tree_map(lambda t: np.conj(phase) * t, CB))
 
     def mvL(v):
         return _mixL_op(v, Ws, tuple(ARs), tuple(ALs), np.conj(phase),
-                        prob.C0, project=project, packer=prob.lb_packer)
+                        prob.C0L, project=project, packer=prob.lb_packer)
 
     lb_vec, _ = gmres(mvL, rhs, krylov_dim=30, tol=gmres_tol, max_restarts=10)
     LB0 = prob.lb_packer.unpack(lb_vec)
@@ -286,12 +309,12 @@ def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
     CBr = cur
     if project:
         CBr = dict(CBr)
-        CBr[fin] = _proj_out(CBr[fin], prob.C0, nrmC)
+        CBr[fin] = _proj_out(CBr[fin], prob.C0R, nrmC)
     rhs_r = prob.rb_packer.pack(
         jax.tree_util.tree_map(lambda t: phase * t, CBr))
 
     def mvR(v):
-        return _mixR_op(v, Ws, tuple(ALs), tuple(ARs), phase, prob.C0,
+        return _mixR_op(v, Ws, tuple(ALs), tuple(ARs), phase, prob.C0R,
                         fin=fin, project=project, packer=prob.rb_packer)
 
     rb_vec, _ = gmres(mvR, rhs_r, krylov_dim=30, tol=gmres_tol, max_restarts=10)

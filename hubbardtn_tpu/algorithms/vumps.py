@@ -51,8 +51,7 @@ def apply_H_AC(GL: Dict[int, SymTensor], W, GR: Dict[int, SymTensor],
             Y = tensordot(Y, R, axes=([2], [0]))         # (p_out, bra_l, bra_r)
         Y = Y.transpose((1, 0, 2))                   # (bra_l, p_out, bra_r)
         out = Y if out is None else out + Y
-    out = out if out is not None else AC * 0.0
-    return out.project_like(AC)
+    return out if out is not None else AC * 0.0
 
 
 def apply_H_C(GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
@@ -71,8 +70,7 @@ def apply_H_C(GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
             Y = tensordot(X, C, axes=([1], [0]))         # (bra_l, r)
             Y = tensordot(Y, R, axes=([1], [0]))         # (bra_l, bra_r)
         out = Y if out is None else out + Y
-    out = out if out is not None else C * 0.0
-    return out.project_like(C)
+    return out if out is not None else C * 0.0
 
 
 def apply_H_AC2(GL: Dict[int, SymTensor], W0, W1, GR: Dict[int, SymTensor],
@@ -107,8 +105,7 @@ def apply_H_AC2(GL: Dict[int, SymTensor], W0, W1, GR: Dict[int, SymTensor],
                 Y = tensordot(Y, R, axes=([3], [0]))      # (q1, q0, bra_l, bra_r)
             Y = Y.transpose((2, 1, 0, 3))             # (bra_l, q0, q1, bra_r)
             out = Y if out is None else out + Y
-    out = out if out is not None else AC2 * 0.0
-    return out.project_like(AC2)
+    return out if out is not None else AC2 * 0.0
 
 
 @partial(jax.jit, static_argnames=("packer",))

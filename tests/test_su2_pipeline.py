@@ -76,3 +76,25 @@ def test_su2_vumps_golden_u2():
                             bond_dim=5, seed=3)
     res_ab = vumps(psi_ab, H_ab, tol=1e-7, maxiter=60)
     assert abs(res.energy - res_ab.energy) < 5e-3
+
+
+@pytest.mark.slow
+def test_su2_excitations_insulator_exact():
+    """P=2 band insulator: the SU(2) quasiparticle ansatz is exact
+    (hole dispersion 2t cos k - u), pinning the channel-leg diagram set."""
+    from hubbardtn_tpu.algorithms.excitations import excitations
+    from hubbardtn_tpu.algorithms.vumps import vumps
+    from hubbardtn_tpu.mps.imps import initialize_mps
+
+    sim = OBSim(t=(1.0,), u=(4.0,), P=2, Q=1, su2=True)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=3,
+                         seed=1, cells=2)
+    res = vumps(psi, H, tol=1e-10, maxiter=60)
+    assert abs(res.energy - 4.0) < 1e-9
+    ks = np.linspace(0, np.pi, 3)
+    Es, _ = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -1),
+                        num=1, tol=1e-8)
+    np.testing.assert_allclose(np.real(Es).ravel(), 2 * np.cos(ks) - 4.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.imag(Es).ravel(), 0.0, atol=1e-8)

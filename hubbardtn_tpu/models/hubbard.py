@@ -111,6 +111,7 @@ class OBCSim(Simulation):
     lower_mu: float = 0.0
     upper_mu: float = 0.0
     verbosity_mu: int = 0
+    su2: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "t", tuple(float(x) for x in self.t))
@@ -128,7 +129,10 @@ class OBCSim(Simulation):
     def T(self) -> int:
         return 1
 
-    def site(self) -> Site:
+    def site(self):
+        if self.su2:
+            from ..ops.sites_su2 import grand_su2_site
+            return grand_su2_site()
         return grand_site()
 
     def with_mu(self, mu: float) -> "OBCSim":
@@ -136,7 +140,7 @@ class OBCSim(Simulation):
         kw = {k: getattr(self, k) for k in (
             "t", "u", "svalue", "bond_dim", "period", "J", "U13", "spin",
             "JMs", "tol_mu", "maxiter_mu", "step_size", "lower_mu",
-            "upper_mu", "verbosity_mu")}
+            "upper_mu", "verbosity_mu", "su2")}
         return OBCSim(mu=mu, f=None, **kw)
 
     def name(self) -> str:
@@ -205,6 +209,7 @@ class MBSim(Simulation):
     U1111: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = ()
     U13_IS: tuple = ()
     code: str = ""
+    su2: bool = False
 
     def __post_init__(self):
         def freeze(m):
@@ -233,7 +238,10 @@ class MBSim(Simulation):
         """Chain unit cell: T cell-sites x B bands, band-major."""
         return unit_cell(self.P, self.Q) * self.bands
 
-    def site(self) -> Site:
+    def site(self):
+        if self.su2:
+            from ..ops.sites_su2 import canonical_su2_site
+            return canonical_su2_site(self.P, self.Q)
         return canonical_site(self.P, self.Q)
 
     def name(self) -> str:
@@ -257,6 +265,7 @@ class MBCSim(Simulation):
     U1111: Tuple[Tuple[Tuple[int, int, int, int], float], ...] = ()
     U13_IS: tuple = ()
     code: str = ""
+    su2: bool = False
 
     __post_init__ = MBSim.__post_init__
 
@@ -268,9 +277,12 @@ class MBCSim(Simulation):
     def T(self) -> int:
         return self.bands
 
-    def site(self) -> Site:
+    def site(self):
         if self.spin:
             raise NotImplementedError("Spin not implemented.")  # :216
+        if self.su2:
+            from ..ops.sites_su2 import grand_su2_site
+            return grand_su2_site()
         return grand_site()
 
     def name(self) -> str:
@@ -374,7 +386,10 @@ def _su2_mpo(sim, terms) -> MPOHamiltonian:
     coupled strings, emit the channel-leg FSM MPO (mpo/su2_compile.py)."""
     from ..mpo.su2_compile import build_mpo_su2, symmetrize_terms
     from ..ops.fermions import compile_terms
-    ab_site = canonical_site(sim.P, sim.Q)
+    if isinstance(sim, (OBCSim, MBCSim)):
+        ab_site = grand_site()
+    else:
+        ab_site = canonical_site(sim.P, sim.Q)
     su_site = sim.site()
     su_terms = symmetrize_terms(ab_site, su_site, compile_terms(ab_site, terms))
     return build_mpo_su2(su_site, sim.T, su_terms)
@@ -390,7 +405,11 @@ def hamiltonian(sim) -> MPOHamiltonian:
         if sim.mu is None:
             raise ValueError("OBCSim with target filling: use the mu search "
                              "(compute_groundstate), not hamiltonian()")
+        if sim.su2:
+            return _su2_mpo(sim, one_band_terms(sim))
         return mpo_from_terms(sim.site(), sim.T, one_band_terms(sim))
     if isinstance(sim, (MBSim, MBCSim)):
+        if getattr(sim, "su2", False):
+            return _su2_mpo(sim, multi_band_terms(sim))
         return mpo_from_terms(sim.site(), sim.T, multi_band_terms(sim))
     raise TypeError(f"unsupported simulation type {type(sim)!r}")

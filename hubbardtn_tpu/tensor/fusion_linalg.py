@@ -350,6 +350,30 @@ def left_null(T: FusionTensor, nrows: int) -> FusionTensor:
     return _left_factor(T, nrows, Fr, bond_r, Ns, bspace)
 
 
+def right_null(T: FusionTensor, nrows: int) -> FusionTensor:
+    """Orthonormal complement of the row space of the matricization:
+    N with legs (null bond IN, cols...), T N^dag = 0, N N^dag = I (dense)."""
+    g = T.group
+    mats, Fr, Fc, bond_r, bond_c = matricize(T, nrows)
+    Ns, bond = {}, {}
+    for sig_c, D in tuple(bond_c):
+        sig_r = g.dual(sig_c)
+        A = mats.get(sig_r)
+        rq = float(np.sqrt(g.qdim(sig_r)))
+        if A is None:
+            N = jnp.eye(D, dtype=T.dtype)
+        else:
+            An = np.asarray(A)
+            q = np.linalg.qr(np.conj(An.T), mode="complete")[0]
+            N = jnp.asarray(np.conj(q[:, An.shape[0]:].T), dtype=T.dtype)
+        if N.shape[0] == 0:
+            continue
+        Ns[sig_r] = N * rq
+        bond[sig_r] = N.shape[0]
+    bspace = Space(g, bond)
+    return _right_factor(T, nrows, Fc, bond_c, Ns, bspace)
+
+
 def eigh(T: FusionTensor):
     """Hermitian eigendecomposition of a square 2-leg neutral tensor."""
     assert T.ndim == 2

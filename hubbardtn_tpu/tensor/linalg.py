@@ -365,6 +365,9 @@ def right_null(T: SymTensor, nrows: int) -> SymTensor:
     """Orthonormal complement of the row space of the matricization:
     returns N with legs (null_bond IN, cols...), T N^dag = 0, N N^dag = I.
     Host-side numpy QR (see left_null)."""
+    if not isinstance(T, SymTensor):
+        from . import fusion_linalg as _fla
+        return _fla.right_null(T, nrows)
     mats, rowinfo, colinfo = matricize(T, nrows)
     Ns, bond = {}, {}
     for r, n_dim in colinfo.dims.items():

@@ -1,0 +1,309 @@
+"""Shape-bucketed, batched effective-Hamiltonian matvec.
+
+The block-sparse H_AC application issues one small GEMM chain per
+(FSM transition, sector-block) pair — at chi~2048 that is O(10^3) tiny MXU
+ops whose fixed launch cost (~2-3 ms total) dwarfs the useful FLOPs
+(<1 TFLOP/s observed).  This module removes the op-count floor the
+TPU-native way while keeping padding waste bounded:
+
+* every sector dimension is rounded up to a power-of-two *bucket*;
+* blocks of equal bucketed shape are stacked into one array;
+* each contraction stage becomes one batched einsum per (shape-class pair)
+  driven by static gather plans, with segment-sums accumulating outputs.
+
+That turns ~1500 tiny ops into a few dozen large batched GEMMs with <= 2x
+padding overhead.  Pads are zero, so results are exact (validated against
+apply_H_AC).
+
+Operands come channel-packed (mpo/channel_pack.py): GL3 (bra IN, ket OUT,
+ch IN), W4 (ch OUT, p OUT, p IN, ch IN), GR3 (ket IN, bra OUT, ch OUT),
+AC (vl IN, p OUT, vr OUT); physical sectors are 1-dimensional, so every
+stage is a genuine matrix-matrix batch with a small channel axis riding
+along.
+
+Layout contract: the Krylov vector is the concatenation of the bucketed
+AC stacks (pads zero); pack/unpack are static reshapes, so Lanczos/GMRES
+run unchanged on it.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mpo.channel_pack import PackedMPO
+from ..tensor.symtensor import SymTensor
+
+
+def _bucket(d: int) -> int:
+    b = 8
+    while b < d:
+        b *= 2
+    return b
+
+
+class _Stacks:
+    """Blocks grouped by bucketed shape: class key -> stacked array; plus a
+    per-block (class, index, true-shape) map.  ``fixed_axes`` maps axis
+    index -> fixed padded size (used for the small channel axis, which is
+    padded to the global channel max instead of a pow2 bucket)."""
+
+    def __init__(self, keys, dims, dtype, fixed_axes: Dict[int, int] = None):
+        self.dtype = dtype
+        fixed_axes = fixed_axes or {}
+        self.classes: Dict[Tuple[int, ...], List] = defaultdict(list)
+        self.pos: Dict = {}
+        self.dims = dict(zip(keys, dims))
+        for k, d in zip(keys, dims):
+            ck = tuple(fixed_axes.get(i, None) or _bucket(x)
+                       for i, x in enumerate(d))
+            self.pos[k] = (ck, len(self.classes[ck]))
+            self.classes[ck].append(k)
+        self.class_keys = sorted(self.classes.keys())
+
+    def zeros(self):
+        return {ck: jnp.zeros((len(self.classes[ck]),) + ck,
+                              dtype=self.dtype)
+                for ck in self.class_keys}
+
+    def fill(self, stacks, blocks):
+        for k, b in blocks.items():
+            if k not in self.pos:
+                continue
+            ck, i = self.pos[k]
+            sl = (i,) + tuple(slice(0, s) for s in b.shape)
+            stacks[ck] = stacks[ck].at[sl].set(b.astype(self.dtype))
+        return stacks
+
+
+class PaddedHAC:
+    """Static bucketed plan for one site's batched H_AC matvec."""
+
+    def __init__(self, GL3: SymTensor, W4: SymTensor, GR3: SymTensor,
+                 AC: SymTensor):
+        self.dtype = AC.dtype
+        Vl, Pp, Vr = AC.spaces
+        assert all(d == 1 for _, d in Pp), "physical sectors must be 1-dim"
+
+        # W entries as dense (Cmax, Cmax) mats keyed (qa, po, pi, qb)
+        C = max(max((d for _, d in W4.spaces[0]), default=1),
+                max((d for _, d in W4.spaces[3]), default=1))
+        self.C = C
+
+        ac_keys = sorted(AC.allowed_keys())
+        ac_dims = [(Vl.dim_of(k[0]), Vr.dim_of(k[2])) for k in ac_keys]
+        self.ac = _Stacks(ac_keys, ac_dims, self.dtype)
+
+        gl_keys = sorted(GL3.allowed_keys())
+        gl_dims = [tuple(GL3.spaces[i].dim_of(k[i]) for i in range(3))
+                   for k in gl_keys]
+        self.gl = _Stacks(gl_keys, gl_dims, self.dtype, fixed_axes={2: C})
+
+        gr_keys = sorted(GR3.allowed_keys())
+        gr_dims = [tuple(GR3.spaces[i].dim_of(k[i]) for i in range(3))
+                   for k in gr_keys]
+        self.gr = _Stacks(gr_keys, gr_dims, self.dtype, fixed_axes={2: C})
+        w_keys = sorted(W4.blocks.keys())
+        w_mats = []
+        for k in w_keys:
+            blk = np.asarray(W4.blocks[k])
+            m = np.zeros((C, C))
+            m[:blk.shape[0], :blk.shape[3]] = blk[:, 0, 0, :]
+            w_mats.append(m)
+        self.Wp = (jnp.asarray(np.stack(w_mats), dtype=self.dtype)
+                   if w_mats else jnp.zeros((0, C, C), dtype=self.dtype))
+        w_index = {k: i for i, k in enumerate(w_keys)}
+
+        # ---- stage 1: Y1[(b, qa, pi, r)] = GL[(b,k,qa)] . AC[(k,pi,r)] ----
+        # Y1 classes keyed (gl bucket d0, C, ac bucket dr)
+        o1_pos: Dict = {}
+        o1_counts: Dict[Tuple, int] = defaultdict(int)
+        combos1 = []
+        for gk in gl_keys:
+            b, kq, qa = gk
+            for ak in ac_keys:
+                if ak[0] != kq:
+                    continue
+                o1 = (b, qa, ak[1], ak[2])
+                gck, gi = self.gl.pos[gk]
+                ack, ai = self.ac.pos[ak]
+                yck = (gck[0], C, ack[1])
+                o1_pos[o1] = (yck, o1_counts[yck])
+                o1_counts[yck] += 1
+                combos1.append((gck, gi, ack, ai, yck, o1_pos[o1][1]))
+        self.plan1 = self._group(combos1)
+        self.y1_shape = dict(o1_counts)
+
+        # ---- stage 2: Y2[(b, po, qb, r)] += Y1 . W ------------------------
+        o2_pos: Dict = {}
+        o2_counts: Dict[Tuple, int] = defaultdict(int)
+        combos2 = []
+        for o1, (yck, yi) in o1_pos.items():
+            b, qa, pi, r = o1
+            for wk, wi in w_index.items():
+                if wk[0] != qa or wk[2] != pi:
+                    continue
+                o2 = (b, wk[1], wk[3], r)
+                if o2 not in o2_pos:
+                    zck = yck
+                    o2_pos[o2] = (zck, o2_counts[zck])
+                    o2_counts[zck] += 1
+                zck, zi = o2_pos[o2]
+                assert zck == yck, "stage-2 class mismatch"
+                combos2.append((yck, yi, wi, zck, zi))
+        self.plan2 = self._group2(combos2)
+        self.y2_shape = dict(o2_counts)
+
+        # ---- stage 3: out[(b, po, br)] += Y2[(b,po,qb,r)] . GR[(r,br,qb)] --
+        combos3 = []
+        for o2, (zck, zi) in o2_pos.items():
+            b, po, qb, r = o2
+            for gk in gr_keys:
+                if gk[0] != r or gk[2] != qb:
+                    continue
+                ok = (b, po, gk[1])
+                if ok not in self.ac.pos:
+                    continue
+                ock, oi = self.ac.pos[ok]
+                rck, ri = self.gr.pos[gk]
+                combos3.append((zck, zi, rck, ri, ock, oi))
+        self.plan3 = self._group3(combos3)
+
+        # vector layout
+        self.vec_slices = {}
+        off = 0
+        for ck in self.ac.class_keys:
+            n = len(self.ac.classes[ck])
+            sz = n * ck[0] * ck[1]
+            self.vec_slices[ck] = (off, n)
+            off += sz
+        self.total = off
+
+    @staticmethod
+    def _group(combos1):
+        plan = defaultdict(lambda: ([], [], []))
+        for gck, gi, ack, ai, yck, yi in combos1:
+            p = plan[(gck, ack, yck)]
+            p[0].append(gi)
+            p[1].append(ai)
+            p[2].append(yi)
+        return {k: tuple(jnp.asarray(v, dtype=jnp.int32) for v in p)
+                for k, p in plan.items()}
+
+    @staticmethod
+    def _group2(combos2):
+        plan = defaultdict(lambda: ([], [], []))
+        for yck, yi, wi, zck, zi in combos2:
+            p = plan[(yck, zck)]
+            p[0].append(yi)
+            p[1].append(wi)
+            p[2].append(zi)
+        return {k: tuple(jnp.asarray(v, dtype=jnp.int32) for v in p)
+                for k, p in plan.items()}
+
+    @staticmethod
+    def _group3(combos3):
+        plan = defaultdict(lambda: ([], [], []))
+        for zck, zi, rck, ri, ock, oi in combos3:
+            p = plan[(zck, rck, ock)]
+            p[0].append(zi)
+            p[1].append(ri)
+            p[2].append(oi)
+        return {k: tuple(jnp.asarray(v, dtype=jnp.int32) for v in p)
+                for k, p in plan.items()}
+
+    # -- hashability ------------------------------------------------------
+    def _sig(self):
+        return (tuple(self.ac.pos.items()), tuple(self.gl.pos.items()),
+                tuple(self.gr.pos.items()), self.C, str(self.dtype))
+
+    def __hash__(self):
+        return hash(str(self._sig()))
+
+    def __eq__(self, other):
+        return isinstance(other, PaddedHAC) and self._sig() == other._sig()
+
+    # -- packing ----------------------------------------------------------
+    def pack_vec(self, AC: SymTensor) -> jnp.ndarray:
+        stacks = self.ac.zeros()
+        blocks = {k: b[:, 0, :] for k, b in AC.blocks.items()}
+        stacks = self.ac.fill(stacks, blocks)
+        return jnp.concatenate(
+            [stacks[ck].reshape(-1) for ck in self.ac.class_keys])
+
+    def unpack_vec(self, vec: jnp.ndarray, template: SymTensor) -> SymTensor:
+        blocks = {}
+        off = 0
+        for ck in self.ac.class_keys:
+            n = len(self.ac.classes[ck])
+            sz = n * ck[0] * ck[1]
+            arr = vec[off:off + sz].reshape((n,) + ck)
+            off += sz
+            for i, k in enumerate(self.ac.classes[ck]):
+                dl, dr = self.ac.dims[k]
+                blocks[k] = arr[i, :dl, :dr][:, None, :]
+        return type(template)(template.group, template.spaces,
+                              template.arrows, blocks, template.charge,
+                              self.dtype)
+
+    def pack_gl(self, GL3: SymTensor):
+        return self.gl.fill(self.gl.zeros(), GL3.blocks)
+
+    def pack_gr(self, GR3: SymTensor):
+        return self.gr.fill(self.gr.zeros(), GR3.blocks)
+
+    # -- matvec -----------------------------------------------------------
+    def matvec(self, vec: jnp.ndarray, GLp, GRp) -> jnp.ndarray:
+        ACs = {}
+        off = 0
+        for ck in self.ac.class_keys:
+            n = len(self.ac.classes[ck])
+            sz = n * ck[0] * ck[1]
+            ACs[ck] = vec[off:off + sz].reshape((n,) + ck)
+            off += sz
+
+        Y1 = {ck: jnp.zeros((n,) + ck, dtype=self.dtype)
+              for ck, n in self.y1_shape.items()}
+        for (gck, ack, yck), (gi, ai, yi) in self.plan1.items():
+            gl = GLp[gck][gi]
+            ac = ACs[ack][ai]
+            contrib = jnp.einsum("bijc,bjr->bicr", gl, ac)
+            Y1[yck] = Y1[yck].at[yi].add(contrib)
+
+        Y2 = {ck: jnp.zeros((n,) + ck, dtype=self.dtype)
+              for ck, n in self.y2_shape.items()}
+        for (yck, zck), (yi, wi, zi) in self.plan2.items():
+            y1 = Y1[yck][yi]
+            w = self.Wp[wi]
+            contrib = jnp.einsum("bicr,bcd->bidr", y1, w)
+            Y2[zck] = Y2[zck].at[zi].add(contrib)
+
+        OUT = {ck: jnp.zeros((len(self.ac.classes[ck]),) + ck,
+                             dtype=self.dtype)
+               for ck in self.ac.class_keys}
+        for (zck, rck, ock), (zi, ri, oi) in self.plan3.items():
+            y2 = Y2[zck][zi]
+            gr = GRp[rck][ri]
+            contrib = jnp.einsum("bidr,brsd->bis", y2, gr)
+            # contrib bucket dims: (zck[0], rck[1]) may exceed ock dims? no:
+            # output sectors' true dims bound both; bucket of ock covers them
+            contrib = contrib[:, :ock[0], :ock[1]]
+            OUT[ock] = OUT[ock].at[oi].add(contrib)
+
+        return jnp.concatenate(
+            [OUT[ck].reshape(-1) for ck in self.ac.class_keys])
+
+
+def build_padded_hac(H, GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
+                     AC: SymTensor, site_index: int = 0):
+    """Convenience: channel-pack + plan + pack all operands for one site."""
+    pm = PackedMPO(H)
+    T = H.T
+    GL3 = pm.pack_env_left(GL, site_index)
+    GR3 = pm.pack_env_right(GR, (site_index + 1) % T)
+    plan = PaddedHAC(GL3, pm.Ws[site_index], GR3, AC)
+    return plan, plan.pack_vec(AC), plan.pack_gl(GL3), plan.pack_gr(GR3)

@@ -71,6 +71,23 @@ class _Stacks:
                 for ck in self.class_keys}
 
     def fill(self, stacks, blocks):
+        import jax as _jax
+        eager = not any(isinstance(b, _jax.core.Tracer)
+                        for b in blocks.values())
+        if eager:
+            # host-side assembly: one transfer per class instead of one
+            # device scatter RPC per block
+            bufs = {ck: np.zeros(stacks[ck].shape,
+                                 dtype=stacks[ck].dtype)
+                    for ck in stacks}
+            for k, b in blocks.items():
+                if k not in self.pos:
+                    continue
+                ck, i = self.pos[k]
+                arr = np.asarray(b)
+                sl = (i,) + tuple(slice(0, s) for s in arr.shape)
+                bufs[ck][sl] = arr
+            return {ck: jnp.asarray(v) for ck, v in bufs.items()}
         for k, b in blocks.items():
             if k not in self.pos:
                 continue

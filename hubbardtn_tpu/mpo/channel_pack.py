@@ -112,14 +112,8 @@ class PackedMPO:
             for (qb_, qk_), blk in t.blocks.items():
                 groups.setdefault(((qb_, qk_, qa)), []).append((oa, blk))
         for key, items in groups.items():
-            n = m.space.dim_of(key[2])
-            shape = out.key_shape(key)
-            cols: List = [None] * n
-            for oa, blk in items:
-                cols[oa] = blk
-            zero = jnp.zeros(shape[:2], dtype=t0.dtype)
-            out.blocks[key] = jnp.stack(
-                [c if c is not None else zero for c in cols], axis=2)
+            out.blocks[key] = _stack_cols(items, m.space.dim_of(key[2]),
+                                          out.key_shape(key), t0.dtype)
         return out
 
     def pack_env_right(self, GR: Dict[int, SymTensor], bond: int) -> SymTensor:
@@ -135,12 +129,25 @@ class PackedMPO:
             for (qk_, qb_), blk in t.blocks.items():
                 groups.setdefault(((qk_, qb_, qb)), []).append((ob, blk))
         for key, items in groups.items():
-            n = m.space.dim_of(key[2])
-            shape = out.key_shape(key)
-            cols: List = [None] * n
-            for ob, blk in items:
-                cols[ob] = blk
-            zero = jnp.zeros(shape[:2], dtype=t0.dtype)
-            out.blocks[key] = jnp.stack(
-                [c if c is not None else zero for c in cols], axis=2)
+            out.blocks[key] = _stack_cols(items, m.space.dim_of(key[2]),
+                                          out.key_shape(key), t0.dtype)
         return out
+
+def _stack_cols(items, n, shape, dtype):
+    """Stack per-channel 2-leg blocks along a new channel axis.  Host-side
+    numpy when operands are concrete (one device transfer per 3-leg block
+    instead of per channel); jnp under tracing."""
+    import jax as _jax
+    eager = not any(isinstance(b, _jax.core.Tracer) for _, b in items)
+    if eager:
+        # stay on the host: downstream consumers (batched_hac stacking, or
+        # a single device_put of the whole env) decide when to transfer
+        buf = np.zeros(shape[:2] + (n,), dtype=np.dtype(jnp.dtype(dtype).name))
+        for off, blk in items:
+            buf[:, :, off] = np.asarray(blk)
+        return buf
+    cols = [None] * n
+    for off, blk in items:
+        cols[off] = blk
+    zero = jnp.zeros(shape[:2], dtype=dtype)
+    return jnp.stack([c if c is not None else zero for c in cols], axis=2)

@@ -315,6 +315,126 @@ class PaddedHAC:
             [OUT[ck].reshape(-1) for ck in self.ac.class_keys])
 
 
+class PaddedHC:
+    """Bucketed batched zero-site effective Hamiltonian:
+    out[(b, br)] = sum_qa GL1[(b, k, qa)] C[(k, r)] GR[(r, br, qa)]."""
+
+    def __init__(self, GL3: SymTensor, GR3: SymTensor, C: SymTensor):
+        self.dtype = C.dtype
+        C_keys = sorted(C.allowed_keys())
+        C_dims = [(C.spaces[0].dim_of(k[0]), C.spaces[1].dim_of(k[1]))
+                  for k in C_keys]
+        self.c = _Stacks(C_keys, C_dims, self.dtype)
+
+        Cch = max(max((d for _, d in GL3.spaces[2]), default=1),
+                  max((d for _, d in GR3.spaces[2]), default=1))
+        self.C = Cch
+        gl_keys = sorted(GL3.allowed_keys())
+        gl_dims = [tuple(GL3.spaces[i].dim_of(k[i]) for i in range(3))
+                   for k in gl_keys]
+        self.gl = _Stacks(gl_keys, gl_dims, self.dtype, fixed_axes={2: Cch})
+        gr_keys = sorted(GR3.allowed_keys())
+        gr_dims = [tuple(GR3.spaces[i].dim_of(k[i]) for i in range(3))
+                   for k in gr_keys]
+        self.gr = _Stacks(gr_keys, gr_dims, self.dtype, fixed_axes={2: Cch})
+
+        # stage 1: Y[(b, qa, r)] = GL[(b,k,qa)] . C[(k,r)]
+        o1_pos: Dict = {}
+        o1_counts: Dict[Tuple, int] = defaultdict(int)
+        combos1 = []
+        for gk in gl_keys:
+            b, kq, qa = gk
+            for ck in C_keys:
+                if ck[0] != kq:
+                    continue
+                gck, gi = self.gl.pos[gk]
+                cck, ci = self.c.pos[ck]
+                yck = (gck[0], Cch, cck[1])
+                o1 = (b, qa, ck[1])
+                o1_pos[o1] = (yck, o1_counts[yck])
+                o1_counts[yck] += 1
+                combos1.append((gck, gi, cck, ci, yck, o1_pos[o1][1]))
+        self.plan1 = PaddedHAC._group(combos1)
+        self.y1_shape = dict(o1_counts)
+
+        # stage 2: out[(b, br)] += Y[(b, qa, r)] . GR[(r, br, qa)]
+        combos2 = []
+        for o1, (yck, yi) in o1_pos.items():
+            b, qa, r = o1
+            for gk in gr_keys:
+                if gk[0] != r or gk[2] != qa:
+                    continue
+                ok = (b, gk[1])
+                if ok not in self.c.pos:
+                    continue
+                ock, oi = self.c.pos[ok]
+                rck, ri = self.gr.pos[gk]
+                combos2.append((yck, yi, rck, ri, ock, oi))
+        self.plan2 = PaddedHAC._group3(combos2)
+
+        self.total = sum(len(self.c.classes[ck]) * ck[0] * ck[1]
+                         for ck in self.c.class_keys)
+
+    def _sig(self):
+        return (tuple(self.c.pos.items()), tuple(self.gl.pos.items()),
+                tuple(self.gr.pos.items()), self.C, str(self.dtype))
+
+    def __hash__(self):
+        return hash(str(self._sig()))
+
+    def __eq__(self, other):
+        return isinstance(other, PaddedHC) and self._sig() == other._sig()
+
+    def pack_vec(self, C: SymTensor) -> jnp.ndarray:
+        stacks = self.c.fill(self.c.zeros(), C.blocks)
+        return jnp.concatenate(
+            [stacks[ck].reshape(-1) for ck in self.c.class_keys])
+
+    def unpack_vec(self, vec: jnp.ndarray, template: SymTensor) -> SymTensor:
+        blocks = {}
+        off = 0
+        for ck in self.c.class_keys:
+            n = len(self.c.classes[ck])
+            sz = n * ck[0] * ck[1]
+            arr = vec[off:off + sz].reshape((n,) + ck)
+            off += sz
+            for i, k in enumerate(self.c.classes[ck]):
+                dl, dr = self.c.dims[k]
+                blocks[k] = arr[i, :dl, :dr]
+        return type(template)(template.group, template.spaces,
+                              template.arrows, blocks, template.charge,
+                              self.dtype)
+
+    def pack_gl(self, GL3: SymTensor):
+        return self.gl.fill(self.gl.zeros(), GL3.blocks)
+
+    def pack_gr(self, GR3: SymTensor):
+        return self.gr.fill(self.gr.zeros(), GR3.blocks)
+
+    def matvec(self, vec: jnp.ndarray, GLp, GRp) -> jnp.ndarray:
+        Cs = {}
+        off = 0
+        for ck in self.c.class_keys:
+            n = len(self.c.classes[ck])
+            sz = n * ck[0] * ck[1]
+            Cs[ck] = vec[off:off + sz].reshape((n,) + ck)
+            off += sz
+        Y1 = {ck: jnp.zeros((n,) + ck, dtype=self.dtype)
+              for ck, n in self.y1_shape.items()}
+        for (gck, cck, yck), (gi, ci, yi) in self.plan1.items():
+            contrib = jnp.einsum("bijc,bjr->bicr", GLp[gck][gi], Cs[cck][ci])
+            Y1[yck] = Y1[yck].at[yi].add(contrib)
+        OUT = {ck: jnp.zeros((len(self.c.classes[ck]),) + ck,
+                             dtype=self.dtype)
+               for ck in self.c.class_keys}
+        for (yck, rck, ock), (yi, ri, oi) in self.plan2.items():
+            contrib = jnp.einsum("bicr,brsc->bis", Y1[yck][yi], GRp[rck][ri])
+            contrib = contrib[:, :ock[0], :ock[1]]
+            OUT[ock] = OUT[ock].at[oi].add(contrib)
+        return jnp.concatenate(
+            [OUT[ck].reshape(-1) for ck in self.c.class_keys])
+
+
 def build_padded_hac(H, GL: Dict[int, SymTensor], GR: Dict[int, SymTensor],
                      AC: SymTensor, site_index: int = 0):
     """Convenience: channel-pack + plan + pack all operands for one site."""

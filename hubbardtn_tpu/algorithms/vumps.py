@@ -123,6 +123,44 @@ def _h_c_packed(vec, GL, GR, *, packer: Packer):
     return packer.pack(apply_H_C(GL, GR, packer.unpack(vec)))
 
 
+@partial(jax.jit, static_argnames=("plan",))
+def _hac_batched_mv(vec, GLp, GRp, *, plan):
+    return plan.matvec(vec, GLp, GRp)
+
+
+@partial(jax.jit, static_argnames=("plan",))
+def _hc_batched_mv(vec, GLp, GRp, *, plan):
+    return plan.matvec(vec, GLp, GRp)
+
+
+class _BatchedSite:
+    """Per-site bucketed solvers (built once per block structure): packs the
+    channel dicts into stacked class arrays and runs the batched matvecs of
+    algorithms/batched_hac.py inside the Lanczos loops."""
+
+    def __init__(self, H, pm, x: int, psi):
+        self.pm, self.x, self.T = pm, x, psi.T
+        self.plan_ac = None
+        self.plan_c = None
+        self._struct = None
+
+    def ensure(self, GLx, GRx, GLx1, AC, C):
+        from .batched_hac import PaddedHAC, PaddedHC
+        pm, x, T = self.pm, self.x, self.T
+        GL3 = pm.pack_env_left(GLx, x)
+        GR3 = pm.pack_env_right(GRx, (x + 1) % T)
+        GL13 = pm.pack_env_left(GLx1, (x + 1) % T)
+        if self.plan_ac is None or self._struct != (
+                GL3.structure(), GR3.structure(), AC.structure(),
+                C.structure()):
+            self.plan_ac = PaddedHAC(GL3, pm.Ws[x], GR3, AC)
+            self.plan_c = PaddedHC(GL13, GR3, C)
+            self._struct = (GL3.structure(), GR3.structure(),
+                            AC.structure(), C.structure())
+        return (self.plan_ac.pack_gl(GL3), self.plan_ac.pack_gr(GR3),
+                self.plan_c.pack_gl(GL13), self.plan_c.pack_gr(GR3))
+
+
 @jax.jit
 def gauge_from_AC_C(AC: SymTensor, C_left: SymTensor, C_right: SymTensor):
     """Recover isometric (AL, AR) from the updated AC and bond matrices via
@@ -171,6 +209,16 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
     # block structures are fixed across iterations: build packers once
     pk_acs = [Packer(full_blocks(psi.AC(x))) for x in range(T)]
     pk_cs = [Packer(full_blocks(psi.Cs[x])) for x in range(T)]
+    # batched (channel-packed, shape-bucketed) inner solves for abelian MPOs
+    # with 1-dim physical sectors (all canonical-site models; the grand site
+    # has a 2-dim trivial sector and keeps the per-channel path for now)
+    use_batched = (
+        all(op.ndim == 2 for W in H.Ws for op in W.values())
+        and all(d == 1 for _, d in H.site.space))
+    if use_batched:
+        from ..mpo.channel_pack import PackedMPO
+        pm = PackedMPO(H)
+        bsites = [_BatchedSite(H, pm, x, psi) for x in range(T)]
     for it in range(maxiter):
         # dynamic inner tolerance: eigenproblems a bit tighter than the error
         inner_tol = max(min(1e-3, err * 1e-2), tol * 1e-2)
@@ -184,6 +232,23 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
             GLx, Wx, GRx = envs.GLs[x], H.Ws[x], envs.GRs[x]
             GLx1 = envs.GLs[(x + 1) % T]
             pk_ac, pk_c = pk_acs[x], pk_cs[x]
+            AC0, C0 = full_blocks(psi.AC(x)), full_blocks(psi.Cs[x])
+
+            if use_batched:
+                bs = bsites[x]
+                GLp, GRp, GL1p, GR1p = bs.ensure(GLx, GRx, GLx1, AC0, C0)
+                plan_ac, plan_c = bs.plan_ac, bs.plan_c
+                _, v_ac, _ = lanczos_ground(
+                    lambda v: _hac_batched_mv(v, GLp, GRp, plan=plan_ac),
+                    plan_ac.pack_vec(AC0), krylov_dim=krylov_dim,
+                    tol=inner_tol, max_restarts=20)
+                ACs_new.append(plan_ac.unpack_vec(v_ac, AC0))
+                _, v_c, _ = lanczos_ground(
+                    lambda v: _hc_batched_mv(v, GL1p, GR1p, plan=plan_c),
+                    plan_c.pack_vec(C0), krylov_dim=krylov_dim,
+                    tol=inner_tol, max_restarts=20)
+                Cs_new.append(plan_c.unpack_vec(v_c, C0))
+                continue
 
             _, v_ac, _ = lanczos_ground(
                 lambda v: _h_ac_packed(v, GLx, Wx, GRx, packer=pk_ac),

@@ -25,6 +25,8 @@ from ..tensor.symtensor import SymTensor
 _GROUPS = {
     "fZ2xU1szxU1c": _groups.FERMION_SPIN_CHARGE,
     "fZ2xU1sz": _groups.FERMION_SPIN,
+    "fZ2xSU2xU1c": _groups.FERMION_SU2_CHARGE,
+    "fZ2xSU2": _groups.FERMION_SU2,
 }
 
 
@@ -35,21 +37,29 @@ def _group_name(group: AbelianGroup) -> str:
     return name
 
 
-def _tensor_meta(t: SymTensor) -> dict:
+def _tensor_meta(t) -> dict:
+    from ..tensor.fusion import FusionTensor
+    fusion = isinstance(t, FusionTensor)
     return {
+        "cls": "fusion" if fusion else "sym",
         "group": _group_name(t.group),
         "spaces": [list(sp.items) for sp in t.spaces],
         "arrows": list(t.arrows),
-        "charge": t.charge,
+        "charge": t.charges if fusion else t.charge,
         "keys": sorted(t.blocks.keys()),
         "dtype": str(t.dtype),
     }
 
 
-def _tensor_from_meta(meta: dict, arrays: List[np.ndarray]) -> SymTensor:
+def _tensor_from_meta(meta: dict, arrays: List[np.ndarray]):
     group = _GROUPS[meta["group"]]
     spaces = [Space(group, [(tuple(q), d) for q, d in sp])
               for sp in meta["spaces"]]
+    if meta.get("cls") == "fusion":
+        from ..tensor.fusion import FusionTensor
+        blocks = {k: jnp.asarray(a) for k, a in zip(meta["keys"], arrays)}
+        return FusionTensor(group, spaces, meta["arrows"], blocks,
+                            tuple(meta["charge"]), meta["dtype"])
     blocks = {tuple(tuple(int(x) for x in q) for q in k): jnp.asarray(a)
               for k, a in zip(meta["keys"], arrays)}
     return SymTensor(group, spaces, meta["arrows"], blocks,

@@ -133,6 +133,13 @@ class PaddedHAC:
             w_mats.append(m)
         self.Wp = (jnp.asarray(np.stack(w_mats), dtype=self.dtype)
                    if w_mats else jnp.zeros((0, C, C), dtype=self.dtype))
+        # W values are captured constants of the jitted matvec; they MUST be
+        # part of the static signature or jit's cache would serve a kernel
+        # compiled for a different Hamiltonian with the same block structure
+        import hashlib
+        self._wsig = (tuple(w_keys), hashlib.sha1(
+            np.ascontiguousarray(np.stack(w_mats)).tobytes()).hexdigest()
+            if w_mats else "")
         w_index = {k: i for i, k in enumerate(w_keys)}
 
         # ---- stage 1: Y1[(b, qa, pi, r)] = GL[(b,k,qa)] . AC[(k,pi,r)] ----
@@ -236,7 +243,8 @@ class PaddedHAC:
     # -- hashability ------------------------------------------------------
     def _sig(self):
         return (tuple(self.ac.pos.items()), tuple(self.gl.pos.items()),
-                tuple(self.gr.pos.items()), self.C, str(self.dtype))
+                tuple(self.gr.pos.items()), self.C, str(self.dtype),
+                self._wsig)
 
     def __hash__(self):
         return hash(str(self._sig()))

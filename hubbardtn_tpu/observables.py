@@ -20,7 +20,11 @@ from .ops.sites import Site
 
 
 def dim_state(psi: UniformMPS) -> List[int]:
-    """Total bond dimension at each bond (reference dim_state, :1399-1405)."""
+    """Total bond dimension at each bond (reference dim_state, :1399-1405).
+    For the SU(2) backend this is the dense (qdim-weighted) dimension,
+    matching TensorKit's dim(V)."""
+    if getattr(psi.group, "has_su2", False):
+        return [psi.bond_space(x).dense_dim for x in range(psi.T)]
     return psi.bond_dims()
 
 

@@ -257,8 +257,10 @@ class PaddedHAC:
         stacks = self.ac.zeros()
         blocks = {k: b[:, 0, :] for k, b in AC.blocks.items()}
         stacks = self.ac.fill(stacks, blocks)
-        return jnp.concatenate(
-            [stacks[ck].reshape(-1) for ck in self.ac.class_keys])
+        parts = [stacks[ck].reshape(-1) for ck in self.ac.class_keys]
+        if not any(isinstance(p, jax.core.Tracer) for p in parts):
+            return jnp.asarray(np.concatenate([np.asarray(p) for p in parts]))
+        return jnp.concatenate(parts)
 
     def unpack_vec(self, vec: jnp.ndarray, template: SymTensor) -> SymTensor:
         blocks = {}
@@ -395,8 +397,10 @@ class PaddedHC:
 
     def pack_vec(self, C: SymTensor) -> jnp.ndarray:
         stacks = self.c.fill(self.c.zeros(), C.blocks)
-        return jnp.concatenate(
-            [stacks[ck].reshape(-1) for ck in self.c.class_keys])
+        parts = [stacks[ck].reshape(-1) for ck in self.c.class_keys]
+        if not any(isinstance(p, jax.core.Tracer) for p in parts):
+            return jnp.asarray(np.concatenate([np.asarray(p) for p in parts]))
+        return jnp.concatenate(parts)
 
     def unpack_vec(self, vec: jnp.ndarray, template: SymTensor) -> SymTensor:
         blocks = {}

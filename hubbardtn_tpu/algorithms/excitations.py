@@ -400,8 +400,8 @@ def _lanczos_lowest_k(mv, v0, num, krylov_dim, tol, max_restarts=40):
             b_d.append(b)
             if j < krylov_dim - 1:
                 V = V.at[j + 1].set(jnp.where(b > 1e-300, w / b, 0.0))
-        alphas = np.asarray(jnp.stack(a_d))
-        betas = np.asarray(jnp.stack(b_d))
+        alphas = np.array([np.asarray(a) for a in a_d])
+        betas = np.array([np.asarray(b) for b in b_d])
         k = krylov_dim
         for j in range(krylov_dim - 1):
             if betas[j] < 1e-14:

@@ -212,8 +212,10 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
     # batched (channel-packed, shape-bucketed) inner solves for abelian MPOs
     # with 1-dim physical sectors (all canonical-site models; the grand site
     # has a 2-dim trivial sector and keeps the per-channel path for now)
+    import os as _os
     use_batched = (
-        all(op.ndim == 2 for W in H.Ws for op in W.values())
+        _os.environ.get("HTN_NO_BATCHED", "") != "1"
+        and all(op.ndim == 2 for W in H.Ws for op in W.values())
         and all(d == 1 for _, d in H.site.space))
     if use_batched:
         from ..mpo.channel_pack import PackedMPO

@@ -75,6 +75,12 @@ class Packer:
                 parts.append(b.reshape(size).astype(self.dtype))
         if not parts:
             return jnp.zeros((0,), dtype=self.dtype)
+        if not any(isinstance(p, jax.core.Tracer) for p in parts):
+            # eager path through numpy: XLA CPU's eager concatenate is in
+            # the same custom-call family as the eager-pad heap corruptor
+            # (see tensor/linalg.pad_leg); keep it off the hot loop
+            buf = np.concatenate([np.asarray(p) for p in parts])
+            return jnp.asarray(buf)
         return jnp.concatenate(parts)
 
     def unpack(self, vec: jnp.ndarray) -> SymTensor:
@@ -127,7 +133,10 @@ class TreePacker:
         leaves = jax.tree_util.tree_leaves(tree)
         if not leaves:
             return jnp.zeros((0,), dtype=self.dtype)
-        return jnp.concatenate([l.reshape(-1).astype(self.dtype) for l in leaves])
+        parts = [l.reshape(-1).astype(self.dtype) for l in leaves]
+        if not any(isinstance(p, jax.core.Tracer) for p in parts):
+            return jnp.asarray(np.concatenate([np.asarray(p) for p in parts]))
+        return jnp.concatenate(parts)
 
     def unpack(self, vec: jnp.ndarray):
         leaves = [vec[o:o + s].reshape(shape)
@@ -171,8 +180,10 @@ def lanczos_ground(matvec: Callable[[jnp.ndarray], jnp.ndarray],
             b_dev.append(b)
             if j < krylov_dim - 1:
                 V = V.at[j + 1].set(jnp.where(b > 1e-300, w / b, 0.0))
-        alphas = np.asarray(jnp.stack(a_dev))        # single host sync
-        betas = np.asarray(jnp.stack(b_dev))
+        # host-side gather (avoid eager jnp.stack: XLA CPU's eager
+        # concatenate family has corrupted the heap before, see linalg.pad_leg)
+        alphas = np.array([np.asarray(a) for a in a_dev])
+        betas = np.array([np.asarray(b) for b in b_dev])
         # effective Krylov size: stop at the first (near-)breakdown
         k = krylov_dim
         for j in range(krylov_dim - 1):
@@ -231,8 +242,8 @@ def gmres(matvec: Callable[[jnp.ndarray], jnp.ndarray], b: jnp.ndarray,
             norms.append(hb)
             if j < krylov_dim - 1:
                 V = V.at[j + 1].set(jnp.where(hb > 1e-300, w / hb, 0.0))
-        Hc = np.asarray(jnp.stack(cols))        # (k, k+1) single host sync
-        hn = np.asarray(jnp.stack(norms))
+        Hc = np.array([np.asarray(c) for c in cols])   # (k, k+1) host gather
+        hn = np.array([np.asarray(x) for x in norms])
         k = krylov_dim
         for j in range(krylov_dim - 1):
             if hn[j] < 1e-14:

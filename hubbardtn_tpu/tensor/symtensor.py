@@ -227,6 +227,9 @@ class SymTensor:
         if not self.blocks:
             return jnp.zeros((), dtype=jnp.float64)
         parts = [jnp.sum(jnp.abs(b) ** 2) for b in self.blocks.values()]
+        if not any(isinstance(p, jax.core.Tracer) for p in parts):
+            # eager sum on the host (eager jnp.stack = heap-corruption family)
+            return jnp.asarray(sum(float(np.asarray(p)) for p in parts))
         return jnp.sum(jnp.stack(parts))
 
     def norm(self):

@@ -10,6 +10,19 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """Drop compiled executables between tests.
+
+    Keeping hundreds of large compiled XLA CPU programs alive across the
+    whole suite exhausts process resources (the long-suite segfaults struck
+    inside backend_compile after ~5 heavy ground-state solves in one
+    process); tests rarely share jit cache entries anyway."""
+    yield
+    jax.clear_caches()

@@ -133,3 +133,48 @@ def test_su2_dispersion_u5_variational_dominance():
     assert np.all(E <= golden + 2e-3)          # variational dominance
     assert abs(E[-1] - golden[-1]) < 1.5e-2    # band edge agreement
     assert E[-1] >= -1.4721 - 1e-3             # exact Bethe-ansatz bound
+
+
+def _conv_kron(P_ab_idx, su_perm, n):
+    P_ab = np.zeros((4, 4))
+    for new, old in enumerate(P_ab_idx):
+        P_ab[new, old] = 1.0
+    P_su = np.zeros((4, 4))
+    for new, old in enumerate(su_perm):
+        P_su[new, old] = 1.0
+    Pc = P_su @ P_ab.T
+    K = np.eye(1)
+    for _ in range(n):
+        K = np.kron(K, Pc)
+    return K
+
+
+def test_su2_mpo_window_grand_canonical():
+    """OBC fixed-mu SU(2) MPO == abelian MPO (2-dim trivial sector)."""
+    from hubbardtn_tpu.models.hubbard import OBCSim
+    from hubbardtn_tpu.ops.sites import grand_site
+    from hubbardtn_tpu.ops.sites_su2 import grand_su2_site
+
+    H_ab = hamiltonian(OBCSim(t=(2.726,), u=(7.658,), mu=3.535))
+    H_su = hamiltonian(OBCSim(t=(2.726,), u=(7.658,), mu=3.535, su2=True))
+    su_site = grand_su2_site()
+    K = _conv_kron(_fixed_basis_indices(grand_site()), su_site.perm, 3)
+    Wab = np.real(np.asarray(H_ab.to_dense_window(3)))
+    np.testing.assert_allclose(K @ Wab @ K.T, su2_dense_window(H_su, 3),
+                               atol=1e-10)
+
+
+def test_su2_mpo_window_multiband():
+    """2-band MB model with interband hopping/V/J: SU(2) MPO == abelian."""
+    from hubbardtn_tpu.models.hubbard import MBSim
+
+    t = np.array([[0.0, 0.3, 1.0, 0.2], [0.3, 0.5, 0.2, 0.8]])
+    u = np.array([[4.0, 1.0, 0.5, 0.2], [1.0, 3.0, 0.2, 0.4]])
+    J = np.array([[0.0, 0.3, 0.1, 0.05], [0.3, 0.0, 0.05, 0.1]])
+    H_ab = hamiltonian(MBSim(t=t, u=u, J=J, P=2, Q=1))
+    H_su = hamiltonian(MBSim(t=t, u=u, J=J, P=2, Q=1, su2=True))
+    su_site = canonical_su2_site(2, 1)
+    K = _conv_kron(_fixed_basis_indices(canonical_site(2, 1)), su_site.perm, 4)
+    Wab = np.real(np.asarray(H_ab.to_dense_window(4)))
+    np.testing.assert_allclose(K @ Wab @ K.T, su2_dense_window(H_su, 4),
+                               atol=1e-9)

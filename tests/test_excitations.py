@@ -75,3 +75,31 @@ def test_hole_dispersion_u5_golden():
     assert np.all(np.abs(E - golden) < 0.12)   # tracks the branch
     assert abs(E[-1] - golden[-1]) < 2e-2      # band edge at k=pi
     assert np.all(E >= -1.4721 - 1e-2)         # exact Bethe-ansatz bound
+
+
+GOLDEN_OBC_DISPERSION = [4.13541796, 2.8491043, -0.4113358, 2.89508166,
+                         4.17185897]
+
+
+@pytest.mark.slow
+def test_obc_fixed_mu_dispersion_golden():
+    """Reference test/OBC.jl:38-62: fixed mu=3.535, t=2.726, u=7.658.
+
+    The grand-canonical landscape has competing filling sectors, so the
+    composite driver (expansion + polish) is required — a bare VUMPS from a
+    random state can converge to a false vacuum whose 'excitations' are
+    meaningless.  At chi=26 the dispersion tracks golden to <= 7e-2 and
+    tightens with bond dimension."""
+    from hubbardtn_tpu.algorithms.groundstate import compute_groundstate
+    from hubbardtn_tpu.models.hubbard import OBCSim
+
+    sim = OBCSim(t=(2.726,), u=(7.658,), mu=3.535, bond_dim=16, svalue=2.5)
+    out = compute_groundstate(sim, tol=1e-8, max_rounds=3, round_iters=50,
+                              final_iters=150)
+    assert out["energy"] < -5.46  # true vacuum, not the false one at -5.26
+    ks = np.linspace(0, np.pi, 5)
+    Es, _ = excitations(out["groundstate"], out["ham"], out["environments"],
+                        ks, sector=(1, 1), num=1, tol=1e-6)
+    E = np.real(Es).ravel()
+    np.testing.assert_allclose(np.imag(Es).ravel(), 0.0, atol=1e-8)
+    assert np.all(np.abs(E - np.asarray(GOLDEN_OBC_DISPERSION)) < 1e-1)

@@ -52,14 +52,17 @@ class _Stacks:
     index -> fixed padded size (used for the small channel axis, which is
     padded to the global channel max instead of a pow2 bucket)."""
 
-    def __init__(self, keys, dims, dtype, fixed_axes: Dict[int, int] = None):
+    def __init__(self, keys, dims, dtype, fixed_axes: Dict[int, int] = None,
+                 exact_axes=()):
         self.dtype = dtype
         fixed_axes = fixed_axes or {}
+        exact_axes = frozenset(exact_axes)
         self.classes: Dict[Tuple[int, ...], List] = defaultdict(list)
         self.pos: Dict = {}
         self.dims = dict(zip(keys, dims))
         for k, d in zip(keys, dims):
-            ck = tuple(fixed_axes.get(i, None) or _bucket(x)
+            ck = tuple(fixed_axes.get(i, None)
+                       or (x if i in exact_axes else _bucket(x))
                        for i, x in enumerate(d))
             self.pos[k] = (ck, len(self.classes[ck]))
             self.classes[ck].append(k)
@@ -98,22 +101,27 @@ class _Stacks:
 
 
 class PaddedHAC:
-    """Static bucketed plan for one site's batched H_AC matvec."""
+    """Static bucketed plan for one site's batched H_AC matvec.
+
+    Physical sectors may carry any multiplicity (the grand-canonical site
+    has a 2-dim trivial sector, reference SymSpace() at
+    /root/reference/src/HubbardFunctions.jl:341-346): the physical axis
+    rides every stage as an exact (non-bucketed) class axis, so AC stacks
+    are (n, Dl, P, Dr) and W stacks (n, C, Po, Pi, C)."""
 
     def __init__(self, GL3: SymTensor, W4: SymTensor, GR3: SymTensor,
                  AC: SymTensor):
         self.dtype = AC.dtype
         Vl, Pp, Vr = AC.spaces
-        assert all(d == 1 for _, d in Pp), "physical sectors must be 1-dim"
 
-        # W entries as dense (Cmax, Cmax) mats keyed (qa, po, pi, qb)
         C = max(max((d for _, d in W4.spaces[0]), default=1),
                 max((d for _, d in W4.spaces[3]), default=1))
         self.C = C
 
         ac_keys = sorted(AC.allowed_keys())
-        ac_dims = [(Vl.dim_of(k[0]), Vr.dim_of(k[2])) for k in ac_keys]
-        self.ac = _Stacks(ac_keys, ac_dims, self.dtype)
+        ac_dims = [(Vl.dim_of(k[0]), Pp.dim_of(k[1]), Vr.dim_of(k[2]))
+                   for k in ac_keys]
+        self.ac = _Stacks(ac_keys, ac_dims, self.dtype, exact_axes={1})
 
         gl_keys = sorted(GL3.allowed_keys())
         gl_dims = [tuple(GL3.spaces[i].dim_of(k[i]) for i in range(3))
@@ -124,26 +132,30 @@ class PaddedHAC:
         gr_dims = [tuple(GR3.spaces[i].dim_of(k[i]) for i in range(3))
                    for k in gr_keys]
         self.gr = _Stacks(gr_keys, gr_dims, self.dtype, fixed_axes={2: C})
+
         w_keys = sorted(W4.blocks.keys())
-        w_mats = []
         for k in w_keys:
-            blk = np.asarray(W4.blocks[k])
-            m = np.zeros((C, C))
-            m[:blk.shape[0], :blk.shape[3]] = blk[:, 0, 0, :]
-            w_mats.append(m)
-        self.Wp = (jnp.asarray(np.stack(w_mats), dtype=self.dtype)
-                   if w_mats else jnp.zeros((0, C, C), dtype=self.dtype))
+            if (np.iscomplexobj(np.asarray(W4.blocks[k]))
+                    and jnp.dtype(self.dtype).kind != "c"):
+                raise TypeError(
+                    "complex MPO block with a real state dtype: promote the "
+                    "MPS to complex before using the batched H_AC path")
+        w_dims = [tuple(W4.spaces[i].dim_of(k[i]) for i in range(4))
+                  for k in w_keys]
+        self.w = _Stacks(w_keys, w_dims, self.dtype,
+                         fixed_axes={0: C, 3: C}, exact_axes={1, 2})
+        self.Wp = self.w.fill(self.w.zeros(), W4.blocks)
         # W values are captured constants of the jitted matvec; they MUST be
         # part of the static signature or jit's cache would serve a kernel
         # compiled for a different Hamiltonian with the same block structure
         import hashlib
-        self._wsig = (tuple(w_keys), hashlib.sha1(
-            np.ascontiguousarray(np.stack(w_mats)).tobytes()).hexdigest()
-            if w_mats else "")
-        w_index = {k: i for i, k in enumerate(w_keys)}
+        h = hashlib.sha1()
+        for ck in self.w.class_keys:
+            h.update(np.ascontiguousarray(np.asarray(self.Wp[ck])).tobytes())
+        self._wsig = (tuple(w_keys), h.hexdigest())
 
         # ---- stage 1: Y1[(b, qa, pi, r)] = GL[(b,k,qa)] . AC[(k,pi,r)] ----
-        # Y1 classes keyed (gl bucket d0, C, ac bucket dr)
+        # Y1 classes keyed (gl bucket d0, C, P exact, ac bucket dr)
         o1_pos: Dict = {}
         o1_counts: Dict[Tuple, int] = defaultdict(int)
         combos1 = []
@@ -155,31 +167,34 @@ class PaddedHAC:
                 o1 = (b, qa, ak[1], ak[2])
                 gck, gi = self.gl.pos[gk]
                 ack, ai = self.ac.pos[ak]
-                yck = (gck[0], C, ack[1])
+                yck = (gck[0], C, ack[1], ack[2])
                 o1_pos[o1] = (yck, o1_counts[yck])
                 o1_counts[yck] += 1
-                combos1.append((gck, gi, ack, ai, yck, o1_pos[o1][1]))
+                combos1.append(((gck, ack, yck),
+                                (gi, ai, o1_pos[o1][1])))
         self.plan1 = self._group(combos1)
         self.y1_shape = dict(o1_counts)
 
         # ---- stage 2: Y2[(b, po, qb, r)] += Y1 . W ------------------------
+        w_pos = self.w.pos
         o2_pos: Dict = {}
         o2_counts: Dict[Tuple, int] = defaultdict(int)
         combos2 = []
         for o1, (yck, yi) in o1_pos.items():
             b, qa, pi, r = o1
-            for wk, wi in w_index.items():
+            for wk in w_keys:
                 if wk[0] != qa or wk[2] != pi:
                     continue
+                wck, wi = w_pos[wk]
                 o2 = (b, wk[1], wk[3], r)
+                zck = (yck[0], wck[1], C, yck[3])
                 if o2 not in o2_pos:
-                    zck = yck
                     o2_pos[o2] = (zck, o2_counts[zck])
                     o2_counts[zck] += 1
-                zck, zi = o2_pos[o2]
-                assert zck == yck, "stage-2 class mismatch"
-                combos2.append((yck, yi, wi, zck, zi))
-        self.plan2 = self._group2(combos2)
+                zck2, zi = o2_pos[o2]
+                assert zck2 == zck, "stage-2 class mismatch"
+                combos2.append(((yck, wck, zck), (yi, wi, zi)))
+        self.plan2 = self._group(combos2)
         self.y2_shape = dict(o2_counts)
 
         # ---- stage 3: out[(b, po, br)] += Y2[(b,po,qb,r)] . GR[(r,br,qb)] --
@@ -194,51 +209,28 @@ class PaddedHAC:
                     continue
                 ock, oi = self.ac.pos[ok]
                 rck, ri = self.gr.pos[gk]
-                combos3.append((zck, zi, rck, ri, ock, oi))
-        self.plan3 = self._group3(combos3)
+                combos3.append(((zck, rck, ock), (zi, ri, oi)))
+        self.plan3 = self._group(combos3)
 
         # vector layout
         self.vec_slices = {}
         off = 0
         for ck in self.ac.class_keys:
             n = len(self.ac.classes[ck])
-            sz = n * ck[0] * ck[1]
+            sz = n * int(np.prod(ck))
             self.vec_slices[ck] = (off, n)
             off += sz
         self.total = off
 
     @staticmethod
-    def _group(combos1):
-        plan = defaultdict(lambda: ([], [], []))
-        for gck, gi, ack, ai, yck, yi in combos1:
-            p = plan[(gck, ack, yck)]
-            p[0].append(gi)
-            p[1].append(ai)
-            p[2].append(yi)
-        return {k: tuple(jnp.asarray(v, dtype=jnp.int32) for v in p)
-                for k, p in plan.items()}
-
-    @staticmethod
-    def _group2(combos2):
-        plan = defaultdict(lambda: ([], [], []))
-        for yck, yi, wi, zck, zi in combos2:
-            p = plan[(yck, zck)]
-            p[0].append(yi)
-            p[1].append(wi)
-            p[2].append(zi)
-        return {k: tuple(jnp.asarray(v, dtype=jnp.int32) for v in p)
-                for k, p in plan.items()}
-
-    @staticmethod
-    def _group3(combos3):
-        plan = defaultdict(lambda: ([], [], []))
-        for zck, zi, rck, ri, ock, oi in combos3:
-            p = plan[(zck, rck, ock)]
-            p[0].append(zi)
-            p[1].append(ri)
-            p[2].append(oi)
-        return {k: tuple(jnp.asarray(v, dtype=jnp.int32) for v in p)
-                for k, p in plan.items()}
+    def _group(combos):
+        """Group (class-key-tuple, gather-index-tuple) pairs by class key."""
+        plan = defaultdict(list)
+        for ckey, idx in combos:
+            plan[ckey].append(idx)
+        return {k: tuple(jnp.asarray(col, dtype=jnp.int32)
+                         for col in zip(*rows))
+                for k, rows in plan.items()}
 
     # -- hashability ------------------------------------------------------
     def _sig(self):
@@ -247,16 +239,14 @@ class PaddedHAC:
                 self._wsig)
 
     def __hash__(self):
-        return hash(str(self._sig()))
+        return hash(self._sig())
 
     def __eq__(self, other):
         return isinstance(other, PaddedHAC) and self._sig() == other._sig()
 
     # -- packing ----------------------------------------------------------
     def pack_vec(self, AC: SymTensor) -> jnp.ndarray:
-        stacks = self.ac.zeros()
-        blocks = {k: b[:, 0, :] for k, b in AC.blocks.items()}
-        stacks = self.ac.fill(stacks, blocks)
+        stacks = self.ac.fill(self.ac.zeros(), AC.blocks)
         parts = [stacks[ck].reshape(-1) for ck in self.ac.class_keys]
         if not any(isinstance(p, jax.core.Tracer) for p in parts):
             return jnp.asarray(np.concatenate([np.asarray(p) for p in parts]))
@@ -267,12 +257,12 @@ class PaddedHAC:
         off = 0
         for ck in self.ac.class_keys:
             n = len(self.ac.classes[ck])
-            sz = n * ck[0] * ck[1]
+            sz = n * int(np.prod(ck))
             arr = vec[off:off + sz].reshape((n,) + ck)
             off += sz
             for i, k in enumerate(self.ac.classes[ck]):
-                dl, dr = self.ac.dims[k]
-                blocks[k] = arr[i, :dl, :dr][:, None, :]
+                dl, dp, dr = self.ac.dims[k]
+                blocks[k] = arr[i, :dl, :dp, :dr]
         return type(template)(template.group, template.spaces,
                               template.arrows, blocks, template.charge,
                               self.dtype)
@@ -289,7 +279,7 @@ class PaddedHAC:
         off = 0
         for ck in self.ac.class_keys:
             n = len(self.ac.classes[ck])
-            sz = n * ck[0] * ck[1]
+            sz = n * int(np.prod(ck))
             ACs[ck] = vec[off:off + sz].reshape((n,) + ck)
             off += sz
 
@@ -298,27 +288,25 @@ class PaddedHAC:
         for (gck, ack, yck), (gi, ai, yi) in self.plan1.items():
             gl = GLp[gck][gi]
             ac = ACs[ack][ai]
-            contrib = jnp.einsum("bijc,bjr->bicr", gl, ac)
+            contrib = jnp.einsum("bikc,bkpr->bicpr", gl, ac)
             Y1[yck] = Y1[yck].at[yi].add(contrib)
 
         Y2 = {ck: jnp.zeros((n,) + ck, dtype=self.dtype)
               for ck, n in self.y2_shape.items()}
-        for (yck, zck), (yi, wi, zi) in self.plan2.items():
-            y1 = Y1[yck][yi]
-            w = self.Wp[wi]
-            contrib = jnp.einsum("bicr,bcd->bidr", y1, w)
+        for (yck, wck, zck), (yi, wi, zi) in self.plan2.items():
+            y1 = Y1[yck][yi]                  # (m, Dl, C, Pi, Dr)
+            w = self.Wp[wck][wi]              # (m, C, Po, Pi, C)
+            contrib = jnp.einsum("bicpr,bcqpd->biqdr", y1, w)
             Y2[zck] = Y2[zck].at[zi].add(contrib)
 
         OUT = {ck: jnp.zeros((len(self.ac.classes[ck]),) + ck,
                              dtype=self.dtype)
                for ck in self.ac.class_keys}
         for (zck, rck, ock), (zi, ri, oi) in self.plan3.items():
-            y2 = Y2[zck][zi]
-            gr = GRp[rck][ri]
-            contrib = jnp.einsum("bidr,brsd->bis", y2, gr)
-            # contrib bucket dims: (zck[0], rck[1]) may exceed ock dims? no:
-            # output sectors' true dims bound both; bucket of ock covers them
-            contrib = contrib[:, :ock[0], :ock[1]]
+            y2 = Y2[zck][zi]                  # (m, Dl, Po, C, Dr)
+            gr = GRp[rck][ri]                 # (m, Dr, Br, C)
+            contrib = jnp.einsum("biqdr,brsd->biqs", y2, gr)
+            contrib = contrib[:, :ock[0], :, :ock[2]]
             OUT[ock] = OUT[ock].at[oi].add(contrib)
 
         return jnp.concatenate(
@@ -363,7 +351,7 @@ class PaddedHC:
                 o1 = (b, qa, ck[1])
                 o1_pos[o1] = (yck, o1_counts[yck])
                 o1_counts[yck] += 1
-                combos1.append((gck, gi, cck, ci, yck, o1_pos[o1][1]))
+                combos1.append(((gck, cck, yck), (gi, ci, o1_pos[o1][1])))
         self.plan1 = PaddedHAC._group(combos1)
         self.y1_shape = dict(o1_counts)
 
@@ -379,8 +367,8 @@ class PaddedHC:
                     continue
                 ock, oi = self.c.pos[ok]
                 rck, ri = self.gr.pos[gk]
-                combos2.append((yck, yi, rck, ri, ock, oi))
-        self.plan2 = PaddedHAC._group3(combos2)
+                combos2.append(((yck, rck, ock), (yi, ri, oi)))
+        self.plan2 = PaddedHAC._group(combos2)
 
         self.total = sum(len(self.c.classes[ck]) * ck[0] * ck[1]
                          for ck in self.c.class_keys)
@@ -390,7 +378,7 @@ class PaddedHC:
                 tuple(self.gr.pos.items()), self.C, str(self.dtype))
 
     def __hash__(self):
-        return hash(str(self._sig()))
+        return hash(self._sig())
 
     def __eq__(self, other):
         return isinstance(other, PaddedHC) and self._sig() == other._sig()

@@ -23,6 +23,8 @@ from ..mps.imps import UniformMPS, initialize_mps
 from ..tensor.linalg import Truncation
 from .changebonds import expand_bonds, svd_cut
 from .environments import Environments
+from .grassmann import grassmann_polish
+from .idmrg import idmrg2
 from .vumps import VUMPSResult, vumps
 
 
@@ -36,14 +38,11 @@ def _min_schmidt(psi: UniformMPS) -> float:
     return out
 
 
-def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
-                     tol: float = 1e-8, max_rounds: int = 8,
-                     round_iters: int = 40, final_iters: int = 200,
-                     max_bond: Optional[int] = None, verbosity: int = 0
-                     ) -> VUMPSResult:
-    """VUMPS with bond expansion until the Schmidt cutoff 10^-svalue is
-    resolved, then a fixed-space polish."""
-    cutoff = 10.0 ** (-svalue)
+def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
+                  tol: float, max_rounds: int, round_iters: int,
+                  max_bond: Optional[int], verbosity: int) -> UniformMPS:
+    """VUMPS + SvdCut + expansion loop until the total bond dimension
+    stabilizes within 5% rtol (reference :1011-1023)."""
     res = None
     prev_dims = None
     trunc = Truncation(cutoff=cutoff,
@@ -60,21 +59,67 @@ def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
                   f" bonds={res.psi.bond_dims()} -> cut {psi_t.bond_dims()}"
                   f" err={res.error:.2e}")
         if prev_dims is not None and dims <= prev_dims * 1.05:
-            psi = psi_t  # converged in bond dimension (reference 5% rtol)
-            break
+            return psi_t  # converged in bond dimension (reference 5% rtol)
         prev_dims = dims
         if max_bond is not None and dims >= max_bond * psi.T:
-            psi = psi_t
-            break
+            return psi_t
         grow = max(4, int(0.5 * dims / psi.T))
         if rnd == max_rounds - 1:
-            psi = psi_t  # budget exhausted: polish the truncation-stable state
-            break
+            return psi_t  # budget exhausted: polish the truncation-stable state
         psi = expand_bonds(res.psi, H, res.envs,
                            Truncation(rel_cutoff=1e-8, max_dim=grow))
         res = None  # environments/jit structures are stale after expansion
+    return psi
+
+
+def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
+                     tol: float = 1e-8, max_rounds: int = 8,
+                     round_iters: int = 40, final_iters: int = 200,
+                     max_bond: Optional[int] = None, verbosity: int = 0,
+                     algorithm: str = "auto", grassmann_iters: int = 20
+                     ) -> VUMPSResult:
+    """Reference-composition ground-state solve (:993-1030):
+
+    * unit cell > 1 site -> IDMRG2 with ``truncbelow(10^-svalue)``
+      (:1009-1010);
+    * single site -> VUMPS + SvdCut + VUMPSSvdCut-style expansion loop until
+      the total bond dimension stabilizes within 5% (:1011-1023);
+    * final polish with the ``VUMPS & GradientGrassmann`` composite
+      (:1025-1027): VUMPS at fixed spaces, then a Riemannian gradient/CG
+      descent that cleans up the tail the eigensolver alternation leaves.
+
+    ``algorithm`` forces the bond-adaptation stage: "idmrg2", "vumps", or
+    "auto" (the reference's T-based dispatch)."""
+    cutoff = 10.0 ** (-svalue)
+    if algorithm == "auto":
+        algorithm = "idmrg2" if psi.T > 1 else "vumps"
+    if algorithm == "idmrg2":
+        trunc = Truncation(cutoff=cutoff,
+                           max_dim=max_bond * psi.T if max_bond else None)
+        res0 = idmrg2(psi, H, trunc, tol=max(tol, cutoff * 1e-2),
+                      maxiter=max_rounds * 6, adapt_every=3,
+                      verbosity=max(0, verbosity - 1))
+        psi = res0.psi
+        if verbosity >= 1:
+            print(f"[gs] idmrg2: e={res0.energy:+.10f}"
+                  f" bonds={psi.bond_dims()} dE={res0.error:.2e}")
+    elif algorithm == "vumps":
+        psi = _vumps_expand(psi, H, cutoff, tol, max_rounds, round_iters,
+                            max_bond, verbosity)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    # polish: VUMPS & GradientGrassmann composite (:1025-1027)
     res = vumps(psi, H, tol=tol, maxiter=final_iters,
                 verbosity=max(0, verbosity - 1))
+    if grassmann_iters > 0:
+        gp = grassmann_polish(res.psi, H, tol=tol, maxiter=grassmann_iters,
+                              verbosity=max(0, verbosity - 1), envs=res.envs)
+        if gp.energy <= res.energy:
+            res = VUMPSResult(gp.psi, gp.envs, gp.energy,
+                              min(res.error, gp.error),
+                              res.iterations + gp.iterations,
+                              res.converged or gp.converged,
+                              res.history + gp.history)
     if verbosity >= 1:
         print(f"[gs] final: e={res.energy:+.10f} bonds={res.psi.bond_dims()}"
               f" err={res.error:.2e} converged={res.converged}")
@@ -84,7 +129,8 @@ def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
 def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                         max_rounds: int = 8, max_bond: Optional[int] = None,
                         seed: int = 1, round_iters: int = 40,
-                        final_iters: int = 200) -> dict:
+                        final_iters: int = 200, algorithm: str = "auto",
+                        grassmann_iters: int = 20) -> dict:
     """Reference-compatible entry (:993-1030): returns a dict with the
     ground state, environments, Hamiltonian, and convergence error.  For a
     grand-canonical model with a target filling, runs the mu search
@@ -93,7 +139,8 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
     if isinstance(sim, OBCSim) and sim.f is not None:
         return _mu_search(sim, tol=tol, verbosity=verbosity,
                           max_rounds=max_rounds, max_bond=max_bond, seed=seed,
-                          round_iters=round_iters, final_iters=final_iters)
+                          round_iters=round_iters, final_iters=final_iters,
+                          algorithm=algorithm, grassmann_iters=grassmann_iters)
     H = hamiltonian(sim)
     # T=1 needs an extra fusion cell for a non-trivial initial bond window
     cells = 2 if sim.T == 1 else 1
@@ -103,7 +150,8 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
     res = find_groundstate(psi, H, svalue=getattr(sim, "svalue", 2.0),
                            tol=tol, max_rounds=max_rounds, max_bond=max_bond,
                            round_iters=round_iters, final_iters=final_iters,
-                           verbosity=verbosity)
+                           verbosity=verbosity, algorithm=algorithm,
+                           grassmann_iters=grassmann_iters)
     out = {
         "groundstate": res.psi,
         "environments": res.envs,
@@ -128,7 +176,8 @@ def _mean_filling(dictionary: dict) -> float:
 
 def _mu_search(sim, tol: float, verbosity: int, max_rounds: int,
                max_bond: Optional[int], seed: int, round_iters: int,
-               final_iters: int) -> dict:
+               final_iters: int, algorithm: str = "auto",
+               grassmann_iters: int = 20) -> dict:
     """Bracket-expansion + bisection on the chemical potential until the
     mean filling hits sim.f (reference :1055-1126)."""
 
@@ -137,7 +186,9 @@ def _mu_search(sim, tol: float, verbosity: int, max_rounds: int,
                                    verbosity=max(0, verbosity - 1),
                                    max_rounds=max_rounds, max_bond=max_bond,
                                    seed=seed, round_iters=round_iters,
-                                   final_iters=final_iters)
+                                   final_iters=final_iters,
+                                   algorithm=algorithm,
+                                   grassmann_iters=grassmann_iters)
 
     f = sim.f
     tol_mu, maxiter_mu = sim.tol_mu, sim.maxiter_mu

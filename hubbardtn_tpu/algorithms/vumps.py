@@ -210,13 +210,12 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
     pk_acs = [Packer(full_blocks(psi.AC(x))) for x in range(T)]
     pk_cs = [Packer(full_blocks(psi.Cs[x])) for x in range(T)]
     # batched (channel-packed, shape-bucketed) inner solves for abelian MPOs
-    # with 1-dim physical sectors (all canonical-site models; the grand site
-    # has a 2-dim trivial sector and keeps the per-channel path for now)
+    # (any physical-sector multiplicity, incl. the grand site's 2-dim
+    # trivial sector; the SU(2) fusion-tree backend keeps the dict path)
     import os as _os
     use_batched = (
         _os.environ.get("HTN_NO_BATCHED", "") != "1"
-        and all(op.ndim == 2 for W in H.Ws for op in W.values())
-        and all(d == 1 for _, d in H.site.space))
+        and all(op.ndim == 2 for W in H.Ws for op in W.values()))
     if use_batched:
         from ..mpo.channel_pack import PackedMPO
         pm = PackedMPO(H)

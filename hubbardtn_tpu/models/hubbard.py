@@ -291,6 +291,7 @@ class MBCSim(Simulation):
 
 def multi_band_terms(sim) -> List[Term]:
     """Term list for the B-band Hamiltonian (reference :811-910)."""
+    import warnings
     B = sim.bands
     Tc = sim.T // B                        # unit cell in lattice sites
     t = _np.asarray(sim.t)
@@ -299,6 +300,23 @@ def multi_band_terms(sim) -> List[Term]:
     for name, m in (("t", t), ("u", u), ("J", J)):
         if m.shape[0] != B or m.shape[1] % B:
             raise ValueError(f"{name} must be B x (B*(range+1))")
+    # input-hermiticity parity (reference :485-489 and the per-term checks)
+    if not _np.allclose(t[:, :B], t[:, :B].T.conj()):
+        warnings.warn("t_OS is not Hermitian.")
+    if _np.all(_np.diag(u[:, :B]) == 0):
+        warnings.warn("No on-band interaction found. This may lead to too "
+                      "low contributions of other Hamiltonian terms.")  # :858
+    for key, _W in tuple(sim.U112):
+        if len(set(key)) != 3:
+            raise ValueError("Two indices should be the same. "
+                             "Not more, not less.")  # :743
+    u1111 = dict(tuple(sim.U1111))
+    for key, W in u1111.items():
+        if len(set(key)) != 4:
+            raise ValueError("All indices must be different.")  # :789
+        rev = tuple(reversed(key))
+        if rev in u1111 and not _np.isclose(W, u1111[rev]):
+            warnings.warn("U1111 is not Hermitian.")  # :791
     U13_OS = _np.asarray(sim.U13) if sim.U13 else _np.zeros((B, B))
     U13_IS = (_np.asarray(sim.U13_IS).reshape(B, -1, 4)
               if sim.U13_IS else _np.zeros((B, 0, 4)))

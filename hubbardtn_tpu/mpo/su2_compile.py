@@ -153,17 +153,43 @@ def symmetrize_terms(site_ab: Site, site: SU2Site,
         if tn < 1e-14:
             continue
 
-        # candidate coupled strings
+        # candidate coupled strings.  Prune with a backward-reachability
+        # table: forward sets F[i] of accumulated charges, intersected with
+        # the charges from which the trivial sector is still reachable —
+        # branches that cannot close to the identity are never explored.
+        F: List[set] = [{g.trivial}]
+        for i in range(L):
+            nxt = set()
+            for u in F[i]:
+                for (bop, _t, _d) in by_flux.get(fluxes[i], ()):
+                    nxt.update(g.fuse_outcomes(u, bop.charge))
+            F.append(nxt)
+        allowed: List[set] = [set() for _ in range(L + 1)]
+        allowed[L] = {g.trivial} & F[L]
+        for i in reversed(range(L)):
+            for u in F[i]:
+                for (bop, _t, _d) in by_flux.get(fluxes[i], ()):
+                    if any(u2 in allowed[i + 1]
+                           for u2 in g.fuse_outcomes(u, bop.charge)):
+                        allowed[i].add(u)
+                        break
+        MAX_PATHS = 20000
         paths: List[Tuple[Tuple, Tuple[Sector, ...]]] = []
 
         def rec(i, u, ops_acc, chain_acc):
             if i == L:
                 if u == g.trivial:
+                    if len(paths) >= MAX_PATHS:
+                        raise ValueError(
+                            f"SU(2) coupled-string enumeration exceeded "
+                            f"{MAX_PATHS} candidates for fluxes {fluxes}; "
+                            "the term family is too long-range to "
+                            "symmetrize this way")
                     paths.append((tuple(ops_acc), tuple(chain_acc)))
                 return
             for (bop, t, dense) in by_flux.get(fluxes[i], ()):
                 for u2 in g.fuse_outcomes(u, bop.charge):
-                    if i == L - 1 and u2 != g.trivial:
+                    if u2 not in allowed[i + 1]:
                         continue
                     rec(i + 1, u2, ops_acc + [(bop, dense)],
                         chain_acc + [u2])
@@ -171,7 +197,6 @@ def symmetrize_terms(site_ab: Site, site: SU2Site,
         rec(0, g.trivial, [], [])
         if not paths:
             raise ValueError(f"no SU(2) coupled strings for fluxes {fluxes}")
-        assert len(paths) < 20000, "candidate path explosion"
 
         # basis windows via the runtime channel contraction
         cols = []

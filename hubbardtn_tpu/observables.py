@@ -54,9 +54,14 @@ def density_spin(psi: UniformMPS, site: Site, bands: int = 1):
 
 def calc_ms(psi: UniformMPS, site: Site, bands: int = 1) -> float:
     """Staggered magnetization m_s = |sum_i (-1)^i (n_up - n_dn)_i| / N_sites
-    (reference calc_ms, :1461-1468; warns there if no SDW order)."""
+    (reference calc_ms, :1461-1468)."""
+    import warnings
     up, dn = density_spin(psi, site, bands=1)
     sz = 0.5 * (up - dn)
+    mag = up - dn
+    if mag.size and not np.allclose(np.abs(mag), abs(mag.flat[0]),
+                                    rtol=1e-6, atol=1e-12):
+        warnings.warn("Spin-density wave?")  # reference :1464-1466
     signs = np.array([(-1.0) ** i for i in range(len(sz))])
     return float(abs(np.sum(signs * sz)) / len(sz))
 

@@ -149,7 +149,7 @@ def op_basis(site: SU2Site):
     """Orthonormal basis of irreducible tensor operators on the site,
     grouped by charge: returns dict charge -> list of (BasisOp,
     FusionTensor, dense (d, d, qdim) array)."""
-    key = id(site.space)
+    key = site.space
     hit = _BASIS_CACHE.get(key)
     if hit is not None:
         return hit

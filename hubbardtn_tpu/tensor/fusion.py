@@ -409,7 +409,7 @@ class FusionTensor:
             S = tree_tensor(tjs, t.arrows, tjc, tr)
             m_axes = tuple(range(n, 2 * n + 1))
             data = np.tensordot(blk, S, axes=(m_axes, tuple(range(n + 1))))
-            if np.max(np.abs(data)) > tol or True:
+            if np.max(np.abs(data)) > tol:
                 t.blocks[bk] = jnp.asarray(data, dtype=dtype)
             # structure tensors are orthonormal but NOT complete in the dense
             # slice (the rest belongs to other charges); track reconstruction

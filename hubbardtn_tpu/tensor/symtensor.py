@@ -297,7 +297,7 @@ class SymTensor:
         for key in t.allowed_keys():
             slc = tuple(slice(offs[i][q], offs[i][q] + t.spaces[i].dim_of(q)) for i, q in enumerate(key))
             blk = dense[slc]
-            if np.max(np.abs(blk)) > tol or True:
+            if np.max(np.abs(blk)) > tol:
                 t.blocks[key] = jnp.asarray(blk, dtype=dtype)
         # verify nothing outside allowed blocks
         recon = t.to_dense()

@@ -12,17 +12,17 @@ from hubbardtn_tpu.solvers.krylov import Packer
 from hubbardtn_tpu.tensor.symtensor import IN, OUT, SymTensor
 
 
-def _setup(sector_dim=8):
-    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+def _setup(sector_dim=8, sim=None):
+    sim = sim or OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
     H = hamiltonian(sim)
     g = H.site.group
     Vs = virtual_spaces(g, H.site.space, sim.T, sector_dim, cells=2)
-    Vl, Vr = Vs[0], Vs[1]
+    Vl, Vr = Vs[0], Vs[1 % len(Vs)]
     GL = {a: SymTensor.random(g, (Vl, Vl), (IN, OUT), charge=qa, seed=a)
           for a, qa in enumerate(H.charges[0])}
     GR = {b: SymTensor.random(g, (Vr, Vr), (IN, OUT), charge=g.dual(qb),
                               seed=100 + b)
-          for b, qb in enumerate(H.charges[1])}
+          for b, qb in enumerate(H.charges[1 % H.T])}
     AC = SymTensor.random(g, (Vl, H.site.space, Vr), (IN, OUT, OUT), seed=7)
     return H, g, Vl, Vr, GL, GR, AC
 
@@ -57,6 +57,42 @@ def test_bucketed_batched_matvec_matches():
     np.testing.assert_allclose(np.asarray(pk.pack(ref)),
                                np.asarray(pk.pack(out)), atol=1e-12)
     # round trip of the padded vector layout
+    back = plan.unpack_vec(plan.pack_vec(AC), AC)
+    for k, b in AC.blocks.items():
+        np.testing.assert_allclose(np.asarray(b), np.asarray(back.blocks[k]),
+                                   atol=1e-14)
+
+
+def test_vumps_batched_equals_dict_grand_site(monkeypatch):
+    """VUMPS on the grand site must give identical trajectories on the
+    batched and per-channel dict paths."""
+    from hubbardtn_tpu.algorithms.vumps import vumps
+    from hubbardtn_tpu.models.hubbard import OBCSim
+    from hubbardtn_tpu.mps.imps import initialize_mps
+    sim = OBCSim(t=(1.0,), u=(2.0,), mu=1.0)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=4,
+                         seed=2, cells=2)
+    monkeypatch.setenv("HTN_NO_BATCHED", "1")
+    e_dict = vumps(psi, H, tol=1e-12, maxiter=3).energy
+    monkeypatch.delenv("HTN_NO_BATCHED")
+    e_batched = vumps(psi, H, tol=1e-12, maxiter=3).energy
+    assert abs(e_dict - e_batched) < 1e-9
+
+
+def test_bucketed_batched_matvec_grand_site():
+    """Multiplicity-carrying physical sectors (grand site, 2-dim trivial
+    sector, reference :341-346) hit the same batched kernel."""
+    from hubbardtn_tpu.models.hubbard import OBCSim
+    sim = OBCSim(t=(1.3,), u=(2.1,), mu=0.7)
+    H, g, Vl, Vr, GL, GR, AC = _setup(sector_dim=6, sim=sim)
+    assert any(d > 1 for _, d in H.site.space)  # 2-dim trivial sector
+    ref = apply_H_AC(GL, H.Ws[0], GR, AC)
+    plan, vec, GLp, GRp = build_padded_hac(H, GL, GR, AC, 0)
+    out = plan.unpack_vec(plan.matvec(vec, GLp, GRp), AC)
+    pk = Packer(ref)
+    np.testing.assert_allclose(np.asarray(pk.pack(ref)),
+                               np.asarray(pk.pack(out)), atol=1e-12)
     back = plan.unpack_vec(plan.pack_vec(AC), AC)
     for k, b in AC.blocks.items():
         np.testing.assert_allclose(np.asarray(b), np.asarray(back.blocks[k]),

@@ -26,6 +26,22 @@ def test_one_band_free_fermions():
     assert abs(res.energy - (-4 / np.pi)) < 5e-3
 
 
+def test_driver_composition_idmrg2_grassmann():
+    """The composite driver follows the reference recipe (:1009-1027):
+    IDMRG2 for unit cells > 1, then the VUMPS & GradientGrassmann polish.
+    On the P=4/Q=2 full-band insulator (exact product state, E = u/site)
+    every stage must preserve/reach the exact energy quickly."""
+    sim = OBSim(t=(1.0,), u=(4.0,), P=4, Q=2, bond_dim=3)
+    H = hamiltonian(sim)
+    assert sim.T == 2
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=3, seed=1)
+    from hubbardtn_tpu.algorithms.groundstate import find_groundstate
+    res = find_groundstate(psi, H, svalue=1.5, tol=1e-8, max_rounds=1,
+                           final_iters=40, grassmann_iters=3,
+                           algorithm="auto")  # auto -> idmrg2 for T=2
+    assert abs(res.energy - 4.0) < 1e-7
+
+
 GOLDEN_FILLING = {(1, 2): -0.73920032, (1, 1): -0.48460447, (3, 2): 1.76073968}
 
 

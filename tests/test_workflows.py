@@ -1,0 +1,152 @@
+"""Workflow layer: produce_* caching semantics, band gap, plotting.
+
+Pins the reference's DrWatson ``produce_or_load`` behavior
+(/root/reference/src/HubbardFunctions.jl:1133-1166): compute once, cache on
+disk, reload on identical parameters, recompute under ``force=true``.  The
+physics runs use the P=2 full-band insulator whose exact product ground
+state (E = u per site) and exact hole dispersion 2t cos k - u make every
+assertion sharp at bond dimension 3.
+"""
+
+import numpy as np
+import pytest
+
+import hubbardtn_tpu.workflows as wf
+from hubbardtn_tpu.models.hubbard import MBSim, OBCSim, OBSim
+
+# insulator: converges to the exact product state in a few iterations
+INS = dict(t=(1.0,), u=(4.0,), P=2, Q=1, bond_dim=3)
+FAST = dict(max_rounds=1, round_iters=40, final_iters=60, tol=1e-9,
+            algorithm="vumps", grassmann_iters=0)
+
+
+def test_produce_or_load_semantics(tmp_path):
+    """Cache round-trip + force=True recompute (reference :1141,1164)."""
+    sim = OBSim(**INS)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return {"energy": 42.0, "config": sim}
+
+    out1 = wf.produce_or_load(compute, sim, "unit", datadir=str(tmp_path))
+    assert out1["energy"] == 42.0 and len(calls) == 1
+    out2 = wf.produce_or_load(compute, sim, "unit", datadir=str(tmp_path))
+    assert out2["energy"] == 42.0 and len(calls) == 1      # cache hit
+    out3 = wf.produce_or_load(compute, sim, "unit", force=True,
+                              datadir=str(tmp_path))
+    assert out3["energy"] == 42.0 and len(calls) == 2      # forced recompute
+    # different parameters -> different cache entry
+    sim2 = OBSim(t=(1.0,), u=(4.5,), P=2, Q=1, bond_dim=3)
+    wf.produce_or_load(compute, sim2, "unit", datadir=str(tmp_path))
+    assert len(calls) == 3
+
+
+def test_produce_groundstate_cache_roundtrip(tmp_path, monkeypatch):
+    """Real solve once; the reload must hit the cache and carry live
+    Hamiltonian + environments with the same energy."""
+    sim = OBSim(**INS)
+    out1 = wf.produce_groundstate(sim, datadir=str(tmp_path), **FAST)
+    assert abs(out1["energy"] - 4.0) < 1e-8       # exact insulator energy
+
+    def poisoned(*a, **k):
+        raise AssertionError("cache miss: compute_groundstate re-ran")
+
+    monkeypatch.setattr(wf, "compute_groundstate", poisoned)
+    out2 = wf.produce_groundstate(sim, datadir=str(tmp_path), **FAST)
+    assert abs(out2["energy"] - out1["energy"]) < 1e-12
+    assert out2["ham"] is not None and out2["environments"] is not None
+    # the recomputed environments reproduce the cached energy
+    e_env = float(np.real(out2["environments"].energy_per_site))
+    assert abs(e_env - out1["energy"]) < 1e-8
+
+
+def test_produce_excitations_exact_insulator(tmp_path):
+    """produce_excitations through the cache on the exact band insulator:
+    hole branch 2t cos k - u, imaginary parts 0 (reference :1226-1269)."""
+    sim = OBSim(**INS)
+    ks = np.array([0.0, np.pi / 2, np.pi])
+    out = wf.produce_excitations(sim, ks, nums=1, charges=(1, 0.5, -1),
+                                 datadir=str(tmp_path), **FAST)
+    E = np.real(out["Es"]).ravel()
+    np.testing.assert_allclose(E, 2 * np.cos(ks) - 4.0, atol=1e-6)
+    np.testing.assert_allclose(np.imag(out["Es"]).ravel(), 0.0, atol=1e-8)
+    # second call is a pure cache load
+    out2 = wf.produce_excitations(sim, ks, nums=1, charges=(1, 0.5, -1),
+                                  datadir=str(tmp_path), **FAST)
+    np.testing.assert_allclose(np.real(out2["Es"]).ravel(), E, atol=1e-14)
+
+
+def test_produce_domainwalls_smoke(tmp_path):
+    """Domain-wall variant runs end-to-end (shifted ket; reference
+    :1301-1344).  T=1, so the shifted ground state equals the original and
+    the 'domain wall' reduces to the ordinary hole branch."""
+    sim = OBSim(**INS)
+    out = wf.produce_domainwalls(sim, [np.pi], nums=1, charges=(1, 0.5, -1),
+                                 shift=1, datadir=str(tmp_path), **FAST)
+    E = np.real(out["Es"]).ravel()
+    np.testing.assert_allclose(E, [2 * np.cos(np.pi) - 4.0], atol=1e-6)
+
+
+def test_produce_bandgap_logic(tmp_path, monkeypatch, capsys):
+    """Gap = min_k(E_hole + E_elec), indirect-gap warning, spin error
+    (reference :1276-1299) — excitation runs stubbed with known branches."""
+    sim = OBSim(**INS)
+    momenta = np.linspace(0, np.pi, 5)
+
+    def fake_exc(s, ks, nums=1, charges=(1, 0.5, 1), **kw):
+        sign = charges[2]
+        # hole branch dips at pi, electron branch flat -> indirect gap at pi
+        Es = 2.0 + (np.cos(ks) if sign < 0 else np.zeros_like(ks))
+        return {"Es": Es.reshape(-1, 1).astype(complex), "momenta": ks}
+
+    monkeypatch.setattr(wf, "produce_excitations", fake_exc)
+    gap, kmin = wf.produce_bandgap(sim, resolution=5, datadir=str(tmp_path))
+    assert abs(gap - (4.0 + np.cos(np.pi))) < 1e-12
+    assert abs(kmin - np.pi) < 1e-12
+    assert "indirect" in capsys.readouterr().out.lower()
+    with pytest.raises(ValueError):
+        wf.produce_bandgap(OBSim(t=(1.0,), u=(1.0,), spin=True),
+                           datadir=str(tmp_path))
+
+
+def test_produce_truncstate_validation(tmp_path):
+    with pytest.raises(ValueError):
+        wf.produce_TruncState(OBSim(**INS), 0, datadir=str(tmp_path))
+
+
+def test_plotting_smoke(tmp_path):
+    """plot_excitations / plot_spin render without a display
+    (reference :1549-1573)."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from hubbardtn_tpu.mps.imps import initialize_mps
+    from hubbardtn_tpu.ops.sites import canonical_site
+    from hubbardtn_tpu.plotting import plot_excitations, plot_spin
+
+    ks = np.linspace(0, np.pi, 5)
+    ax = plot_excitations(ks, np.cos(ks).reshape(-1, 1))
+    assert ax.get_xlabel() == "k"
+    site = canonical_site(1, 1)
+    psi = initialize_mps(site.group, site.space, 2, bond_dim=3, seed=1)
+    ax2 = plot_spin(psi, site)
+    assert ax2.get_title() == "Spin Density"
+
+
+@pytest.mark.slow
+def test_truncation_invariant_mb(tmp_path):
+    """Reference test/MB.jl:94-104: after SvdCut to trunc_dim=5 the mean
+    bond dimension obeys sum(D_trunc)/T <= trunc_dim."""
+    t = np.hstack([np.zeros((2, 2)), np.eye(2)])
+    u = np.hstack([3.0 * np.eye(2), np.zeros((2, 2))])
+    sim = MBSim(t=t, u=u, J=np.zeros((2, 2)), P=1, Q=1, bond_dim=4)
+    out = wf.produce_groundstate(sim, datadir=str(tmp_path), tol=1e-5,
+                                 max_rounds=1, round_iters=30, final_iters=50,
+                                 algorithm="vumps", grassmann_iters=0)
+    tr = wf.produce_TruncState(sim, 5, trunc_scheme=1, datadir=str(tmp_path))
+    psi_t = tr["psi_trunc"]
+    assert sum(psi_t.bond_dims()) / psi_t.T <= 5
+    # scheme validation (reference :1356)
+    with pytest.raises(ValueError):
+        wf.produce_TruncState(sim, 5, trunc_scheme=7, force=True,
+                              datadir=str(tmp_path))

@@ -1,30 +1,42 @@
-"""Benchmark: effective-Hamiltonian matvec throughput on the current backend.
+"""Benchmark: full VUMPS iteration at chi~2048 on the TPU chip.
 
 The reference publishes no performance numbers (BASELINE.md); the north star
-is chi=2048-class sweep throughput on one TPU chip.  This benchmark times the
-hot kernel of every VUMPS/DMRG sweep — the H_AC matvec (all FSM channels of
-the one-band Hubbard MPO contracted against block-sparse environments) — in
-its shape-bucketed batched form (algorithms/batched_hac.py: channels packed
-onto block-sparse channel legs, sectors padded to pow2 buckets, the whole
-matvec lowered to a few dozen batched einsums), and prints one JSON line.
+is chi=2048-class sweep throughput on one TPU chip (BASELINE.json:5).  This
+benchmark times every stage of a complete VUMPS iteration of the one-band
+Hubbard model (T=2 unit cell) at a bond dimension ~2048:
 
-vs_baseline is reported as 1.0: the reference has no published number to
-normalize against (BASELINE.json "published": {}).
+* inner eigensolves: one fully-jitted 16-step Lanczos restart per site on
+  the shape-bucketed batched H_AC and H_C (algorithms/batched_hac.py over
+  mpo/channel_pack.py; solvers/krylov._lanczos_restart_plan);
+* gauge updates: positive-QR AL/AR recovery (algorithms/vumps._gauge_site);
+* environment refresh: finite-channel presweeps + one 30-step GMRES restart
+  for each infinite geometric sum + interior fills, composed into one jitted
+  program (algorithms/environments);
+* repack: environment dicts -> bucketed stacks for the next iteration's
+  eigensolves, jitted.
+
+Reported: ms per iteration, achieved TFLOP/s (FLOPs from XLA's compiled
+cost analysis), and the bare H_AC matvec time.  vs_baseline is 1.0: the
+reference has no published number to normalize against
+(BASELINE.json "published": {}).
+
+Tunnel discipline: everything is BUILT on the host CPU device (eager ops on
+the remote TPU cost an RPC each) and shipped once with device_put; every
+timed stage is one jitted program.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _random_host(cls, group, spaces, arrows, charge=None,
                  dtype=jnp.float32, seed=0):
-    """SymTensor with numpy-backed blocks: keeps the whole build on the host
-    (one device transfer per packed stack instead of one per block — the
-    remote-TPU tunnel makes per-block transfers the dominant build cost)."""
-    import numpy as np
+    """SymTensor with numpy-backed blocks (host build; one transfer later)."""
     t = cls(group, spaces, arrows, {}, charge, dtype)
     rng = np.random.default_rng(seed)
     for key in t.allowed_keys():
@@ -33,72 +45,329 @@ def _random_host(cls, group, spaces, arrows, charge=None,
     return t
 
 
-def build_kernel(sector_dim: int = 48, dtype=jnp.float32):
-    from hubbardtn_tpu.algorithms.batched_hac import build_padded_hac
-    from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
-    from hubbardtn_tpu.mps.imps import virtual_spaces
-    from hubbardtn_tpu.tensor.symtensor import IN, OUT, SymTensor
+def _flops_of(lowered):
+    """Total FLOPs of a compiled program (0 if the backend won't say)."""
+    try:
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
-    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
-    H = hamiltonian(sim)
-    g = H.site.group
-    Vs = virtual_spaces(g, H.site.space, sim.T, sector_dim, cells=2)
-    Vl, Vr = Vs[0], Vs[1]
 
-    GL = {a: _random_host(SymTensor, g, (Vl, Vl), (IN, OUT), charge=qa,
-                          dtype=dtype, seed=a)
-          for a, qa in enumerate(H.charges[0])}
-    # GR legs are (ket IN, bra OUT) with the dual channel charge
-    GR = {b: _random_host(SymTensor, g, (Vr, Vr), (IN, OUT),
-                          charge=g.dual(qb), dtype=dtype, seed=100 + b)
-          for b, qb in enumerate(H.charges[1])}
-    AC = _random_host(SymTensor, g, (Vl, H.site.space, Vr), (IN, OUT, OUT),
-                      dtype=dtype, seed=7)
-    plan, vec, GLp, GRp = build_padded_hac(H, GL, GR, AC, 0)
+class SweepBench:
+    """One VUMPS iteration at a fixed block structure, stage by stage."""
+
+    def __init__(self, sector_dim: int, dtype=jnp.float32):
+        from hubbardtn_tpu.algorithms.batched_hac import PaddedHAC, PaddedHC
+        from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
+        from hubbardtn_tpu.mpo.channel_pack import PackedMPO
+        from hubbardtn_tpu.mps.imps import virtual_spaces
+        from hubbardtn_tpu.tensor.symtensor import IN, OUT, SymTensor
+
+        sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+        H = hamiltonian(sim)
+        self.H = H
+        self.T = T = sim.T
+        g = H.site.group
+        self.dtype = dtype
+        P = H.site.space
+
+        Vs = virtual_spaces(g, P, T, sector_dim, cells=3)
+        self.Vs = Vs
+        self.chi = max(v.total_dim for v in Vs)
+
+        # state tensors (random, correct structure; timing needs no physics)
+        self.ALs = [_random_host(SymTensor, g, (Vs[x - 1], P, Vs[x]),
+                                 (IN, OUT, OUT), dtype=dtype, seed=x)
+                    for x in range(T)]
+        self.ARs = [_random_host(SymTensor, g, (Vs[x - 1], P, Vs[x]),
+                                 (IN, OUT, OUT), dtype=dtype, seed=10 + x)
+                    for x in range(T)]
+        self.Cs = [_random_host(SymTensor, g, (Vs[x], Vs[x]), (IN, OUT),
+                                dtype=dtype, seed=20 + x) for x in range(T)]
+        self.ACs = [_random_host(SymTensor, g, (Vs[x - 1], P, Vs[x]),
+                                 (IN, OUT, OUT), dtype=dtype, seed=30 + x)
+                    for x in range(T)]
+
+        # random environments with the FSM channel structure
+        self.GLd = [{a: _random_host(SymTensor, g, (Vs[x - 1], Vs[x - 1]),
+                                     (IN, OUT), charge=qa, dtype=dtype,
+                                     seed=40 + 17 * x + a)
+                     for a, qa in enumerate(H.charges[x])} for x in range(T)]
+        self.GRd = [{b: _random_host(SymTensor, g, (Vs[x], Vs[x]), (IN, OUT),
+                                     charge=g.dual(qb), dtype=dtype,
+                                     seed=90 + 17 * x + b)
+                     for b, qb in enumerate(H.charges[(x + 1) % T])}
+                    for x in range(T)]
+
+        pm = PackedMPO(H)
+        self.pm = pm
+        # W blocks to the bench dtype (host)
+        for W4 in pm.Ws:
+            for k in list(W4.blocks):
+                W4.blocks[k] = jnp.asarray(np.asarray(W4.blocks[k]),
+                                           dtype=dtype)
+        for Wd in H.Ws:
+            for op in Wd.values():
+                for k in list(op.blocks):
+                    op.blocks[k] = jnp.asarray(np.asarray(op.blocks[k]),
+                                               dtype=dtype)
+
+        self.GL3 = [pm.pack_env_left(self.GLd[x], x) for x in range(T)]
+        self.GR3 = [pm.pack_env_right(self.GRd[x], (x + 1) % T)
+                    for x in range(T)]
+        self.plans_ac = [PaddedHAC(self.GL3[x], pm.Ws[x], self.GR3[x],
+                                   self.ACs[x]) for x in range(T)]
+        self.plans_c = [PaddedHC(pm.pack_env_left(self.GLd[(x + 1) % T],
+                                                  (x + 1) % T),
+                                 self.GR3[x], self.Cs[x]) for x in range(T)]
+
+        self.vac = [self.plans_ac[x].pack_vec(self.ACs[x]) for x in range(T)]
+        self.vc = [self.plans_c[x].pack_vec(self.Cs[x]) for x in range(T)]
+        self.GLp = [self.plans_ac[x].pack_gl(self.GL3[x]) for x in range(T)]
+        self.GRp = [self.plans_ac[x].pack_gr(self.GR3[x]) for x in range(T)]
+        self.GL1p = [self.plans_c[x].pack_gl(
+            pm.pack_env_left(self.GLd[(x + 1) % T], (x + 1) % T))
+            for x in range(T)]
+        self.GR1p = [self.plans_c[x].pack_gr(self.GR3[x]) for x in range(T)]
+
+        self._build_env_refresh()
+        self._build_repack()
+
+    # -- environment refresh as one jitted program ------------------------
+    def _build_env_refresh(self):
+        import math
+
+        from hubbardtn_tpu.algorithms.environments import (
+            _RegLeftPlan, _RegRightPlan, _jit_fill_left, _jit_fill_right,
+            _presweep_left, _presweep_right, _zero_env_left, _zero_env_right,
+            pair_envs, rho_left, rho_right)
+        from hubbardtn_tpu.mps.imps import bond_identity
+        from hubbardtn_tpu.solvers.krylov import (Packer, _gmres_restart_core,
+                                                  full_blocks)
+
+        H, T, dtype = self.H, self.T, self.dtype
+        g = H.site.group
+        tmplL = [_zero_env_left(g, self.Vs[x - 1], H.charges[x], dtype)
+                 for x in range(T)]
+        tmplR = [_zero_env_right(g, self.Vs[x], H.charges[(x + 1) % T], dtype)
+                 for x in range(T)]
+        I0L = bond_identity(g, self.Vs[T - 1], dtype=dtype)
+        I0R = bond_identity(g, self.Vs[T - 1], dtype=dtype)
+        fin = H.idx_final(0)
+        ns = max(2, math.ceil(H.max_len / T) + 1)
+        pkL = Packer(full_blocks(tmplL[0][fin]))
+        pkR = Packer(full_blocks(tmplR[T - 1][0]))
+        regL, regR = _RegLeftPlan(pkL), _RegRightPlan(pkR)
+
+        def refresh(ALs, ARs, Cs, Ws, tmplL, tmplR, I0L, I0R):
+            ALs, ARs, Ws = tuple(ALs), tuple(ARs), tuple(Ws)
+            GL0, CF = _presweep_left(tmplL[0], Ws, ALs, I0L,
+                                     n_sweeps=ns, fin=fin)
+            rho = rho_right(Cs[T - 1])
+            tr = pair_envs(I0L, rho)
+            e = pair_envs(CF, rho) / tr
+            rhs = pkL.pack(CF - e * I0L)
+            y, _ = _gmres_restart_core(
+                lambda v: regL.matvec(v, ALs, rho, I0L, tr),
+                jnp.zeros_like(rhs), rhs, 30)
+            GL0 = dict(GL0)
+            GL0[fin] = pkL.unpack(y)
+            GLs = _jit_fill_left(GL0, Ws, ALs, tmplL)
+
+            GR0, CI = _presweep_right(tmplR[T - 1], Ws, ARs, I0R, n_sweeps=ns)
+            sig = rho_left(Cs[T - 1])
+            trs = pair_envs(sig, I0R)
+            er = pair_envs(sig, CI) / trs
+            rhsr = pkR.pack(CI - er * I0R)
+            yr, _ = _gmres_restart_core(
+                lambda v: regR.matvec(v, ARs, sig, I0R, trs),
+                jnp.zeros_like(rhsr), rhsr, 30)
+            GR0 = dict(GR0)
+            GR0[0] = pkR.unpack(yr)
+            GRs = _jit_fill_right(GR0, Ws, ARs, tmplR)
+            return GLs, GRs, e + er
+
+        self._refresh = jax.jit(refresh)
+        self._refresh_args = (self.ALs, self.ARs, self.Cs, self.H.Ws,
+                              tmplL, tmplR, I0L, I0R)
+
+    def _build_repack(self):
+        """Env dicts -> bucketed stacks for the next eigensolves (jitted)."""
+        T, pm = self.T, self.pm
+
+        def repack(GLds, GRds):
+            out = []
+            for x in range(T):
+                GL3 = pm.pack_env_left(GLds[x], x)
+                GR3 = pm.pack_env_right(GRds[x], (x + 1) % T)
+                GL13 = pm.pack_env_left(GLds[(x + 1) % T], (x + 1) % T)
+                out.append((self.plans_ac[x].pack_gl(GL3),
+                            self.plans_ac[x].pack_gr(GR3),
+                            self.plans_c[x].pack_gl(GL13),
+                            self.plans_c[x].pack_gr(GR3)))
+            return out
+
+        self._repack = jax.jit(repack)
+
+    def to_device(self, dev):
+        (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
+         self._refresh_args, self.ACs, self.ALs, self.ARs, self.Cs,
+         self.GLd, self.GRd) = jax.device_put(
+            (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
+             self._refresh_args, self.ACs, self.ALs, self.ARs, self.Cs,
+             self.GLd, self.GRd), dev)
+
+    # -- stages -----------------------------------------------------------
+    def stage_eigs(self):
+        """(callable, n_programs): one Lanczos restart per site per solver."""
+        from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
+        K = 16
+
+        def run():
+            outs = []
+            for x in range(self.T):
+                outs.append(_lanczos_restart_plan(
+                    self.vac[x], (self.GLp[x], self.GRp[x]),
+                    plan=self.plans_ac[x], k=K))
+                outs.append(_lanczos_restart_plan(
+                    self.vc[x], (self.GL1p[x], self.GR1p[x]),
+                    plan=self.plans_c[x], k=K))
+            return outs
+
+        def flops():
+            total = 0.0
+            for x in range(self.T):
+                total += _flops_of(_lanczos_restart_plan.lower(
+                    self.vac[x], (self.GLp[x], self.GRp[x]),
+                    plan=self.plans_ac[x], k=K))
+                total += _flops_of(_lanczos_restart_plan.lower(
+                    self.vc[x], (self.GL1p[x], self.GR1p[x]),
+                    plan=self.plans_c[x], k=K))
+            return total
+
+        return run, flops
+
+    def stage_gauge(self):
+        from hubbardtn_tpu.algorithms.vumps import _gauge_site
+
+        def run():
+            return [_gauge_site(self.ACs[x], self.Cs[(x - 1) % self.T],
+                                self.Cs[x]) for x in range(self.T)]
+
+        def flops():
+            return sum(_flops_of(_gauge_site.lower(
+                self.ACs[x], self.Cs[(x - 1) % self.T], self.Cs[x]))
+                for x in range(self.T))
+
+        return run, flops
+
+    def stage_envs(self):
+        def run():
+            return self._refresh(*self._refresh_args)
+
+        def flops():
+            return _flops_of(self._refresh.lower(*self._refresh_args))
+
+        return run, flops
+
+    def stage_repack(self):
+        def run():
+            return self._repack(self.GLd, self.GRd)
+
+        def flops():
+            return _flops_of(self._repack.lower(self.GLd, self.GRd))
+
+        return run, flops
+
+
+def _time_stage(run, reps=5):
+    out = run()  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def matvec_bench(bench, dev, reps=30):
+    """Bare batched H_AC matvec ms at the sweep's bond dimension."""
+    from hubbardtn_tpu.algorithms.batched_hac import PaddedHAC
+    plan = bench.plans_ac[0]
     mv = jax.jit(plan.matvec)
-    return mv, vec, GLp, GRp, vec.shape[0], Vl.total_dim, Vr.total_dim
+    v = bench.vac[0]
+    GLp, GRp = bench.GLp[0], bench.GRp[0]
+    v = mv(v, GLp, GRp)
+    jax.block_until_ready(v)
+    for _ in range(3):
+        v = mv(v, GLp, GRp)
+    jax.block_until_ready(v)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v = mv(v, GLp, GRp)
+    jax.block_until_ready(v)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    fl = _flops_of(mv.lower(v, GLp, GRp))
+    return ms, fl
 
 
 def main():
-    import sys
     last_err = None
-    for sector_dim in (48, 32, 16):
+    # per-sector caps on a 3-cell fusion window: 64 -> bonds (1740, 2752),
+    # the chi~2048-class structure of the north star
+    for sector_dim in (64, 48, 32):
         try:
             t0 = time.perf_counter()
-            # build entirely on the host CPU device: every eager op on the
-            # remote-TPU tunnel costs an RPC round trip, which would turn
-            # the MPO compile + packing into minutes of latency
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                mv, v0, GLp, GRp, nvec, dl, dr = build_kernel(sector_dim)
-            tpu = jax.devices()[0]
-            v0 = jax.device_put(v0, tpu)
-            GLp = jax.device_put(GLp, tpu)
-            GRp = jax.device_put(GRp, tpu)
-            print(f"# build {time.perf_counter()-t0:.1f}s bonds {dl}x{dr} "
-                  f"vec {nvec}", file=sys.stderr)
-            t0 = time.perf_counter()
-            v = mv(v0, GLp, GRp)  # compile + warmup
-            jax.block_until_ready(v)
-            print(f"# compile {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-            for _ in range(3):
-                v = mv(v, GLp, GRp)
-            jax.block_until_ready(v)
-            reps = 30
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                v = mv(v, GLp, GRp)
-            jax.block_until_ready(v)
-            ms = (time.perf_counter() - t0) / reps * 1e3
+                bench = SweepBench(sector_dim)
+            build_s = time.perf_counter() - t0
+            chi = bench.chi
+            print(f"# build {build_s:.1f}s chi {chi} "
+                  f"(bonds {[v.total_dim for v in bench.Vs]})",
+                  file=sys.stderr)
+            dev = jax.devices()[0]
+            bench.to_device(dev)
+
+            total_ms = 0.0
+            total_flops = 0.0
+            breakdown = {}
+            with jax.default_device(cpu):
+                stages = {"eigs": bench.stage_eigs(),
+                          "gauge": bench.stage_gauge(),
+                          "envs": bench.stage_envs(),
+                          "repack": bench.stage_repack()}
+            for name, (run, flops) in stages.items():
+                t0 = time.perf_counter()
+                ms = _time_stage(run)
+                print(f"# {name}: {ms:.1f} ms "
+                      f"(incl. compile {time.perf_counter()-t0:.0f}s)",
+                      file=sys.stderr)
+                fl = flops()
+                breakdown[name] = round(ms, 2)
+                total_ms += ms
+                total_flops += fl
+            mv_ms, mv_fl = matvec_bench(bench, dev)
+            tflops = total_flops / (total_ms * 1e-3) / 1e12 if total_ms else 0
             print(json.dumps({
-                "metric": f"h_ac_matvec_ms_bond{dl}x{dr}",
-                "value": round(ms, 3),
+                "metric": f"vumps_iteration_ms_chi{chi}",
+                "value": round(total_ms, 2),
                 "unit": "ms",
                 "vs_baseline": 1.0,
+                "tflops": round(tflops, 3),
+                "breakdown_ms": breakdown,
+                "h_ac_matvec_ms": round(mv_ms, 3),
+                "h_ac_matvec_tflops": round(
+                    mv_fl / (mv_ms * 1e-3) / 1e12, 3) if mv_ms else 0,
             }))
             return
         except Exception as e:  # TPU tunnel flakiness: retry smaller
             last_err = e
+            import traceback
+            traceback.print_exc(file=sys.stderr)
             print(f"# sector_dim {sector_dim} failed: {e}", file=sys.stderr)
     raise last_err
 

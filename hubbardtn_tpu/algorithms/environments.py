@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..mpo.fsm import MPOHamiltonian
 from ..mps.imps import UniformMPS, bond_identity, transfer_left, transfer_right
-from ..solvers.krylov import Packer, full_blocks, gmres
+from ..solvers.krylov import Packer, full_blocks, gmres, gmres_plan
 from ..symmetry.spaces import Space
 from ..tensor.symtensor import IN, OUT, SymTensor, tensordot
 
@@ -189,25 +189,50 @@ def _presweep_right(GR0, Ws, ARs, I0, *, n_sweeps: int):
     return cur, CI
 
 
-@partial(jax.jit, static_argnames=("packer",))
-def _reg_left_op(vec, ALs, rho, I0, tr_rho, *, packer: Packer):
-    """(1 - T_cell + |I0)(rho|) applied to a packed left environment."""
-    Y = packer.unpack(vec)
-    TY = Y
-    for A in ALs:
-        TY = transfer_left(TY, A, A)
-    corr = pair_envs(Y, rho) / tr_rho
-    return packer.pack(Y - TY + corr * I0)
+class _RegLeftPlan:
+    """Hashable operator plan for the regularized left fixed-point solve:
+    (1 - T_cell + |I0)(rho|) on packed vectors.  Hashability lets the
+    whole GMRES restart jit as one program (solvers/krylov.gmres_plan)."""
+
+    __slots__ = ("packer",)
+
+    def __init__(self, packer: Packer):
+        self.packer = packer
+
+    def matvec(self, vec, ALs, rho, I0, tr_rho):
+        Y = self.packer.unpack(vec)
+        TY = Y
+        for A in ALs:
+            TY = transfer_left(TY, A, A)
+        corr = pair_envs(Y, rho) / tr_rho
+        return self.packer.pack(Y - TY + corr * I0)
+
+    def __hash__(self):
+        return hash(("regL", self.packer))
+
+    def __eq__(self, other):
+        return isinstance(other, _RegLeftPlan) and self.packer == other.packer
 
 
-@partial(jax.jit, static_argnames=("packer",))
-def _reg_right_op(vec, ARs, sig, I0, tr_sig, *, packer: Packer):
-    Y = packer.unpack(vec)
-    TY = Y
-    for A in reversed(ARs):
-        TY = transfer_right(TY, A, A)
-    corr = pair_envs(sig, Y) / tr_sig
-    return packer.pack(Y - TY + corr * I0)
+class _RegRightPlan:
+    __slots__ = ("packer",)
+
+    def __init__(self, packer: Packer):
+        self.packer = packer
+
+    def matvec(self, vec, ARs, sig, I0, tr_sig):
+        Y = self.packer.unpack(vec)
+        TY = Y
+        for A in reversed(ARs):
+            TY = transfer_right(TY, A, A)
+        corr = pair_envs(sig, Y) / tr_sig
+        return self.packer.pack(Y - TY + corr * I0)
+
+    def __hash__(self):
+        return hash(("regR", self.packer))
+
+    def __eq__(self, other):
+        return isinstance(other, _RegRightPlan) and self.packer == other.packer
 
 
 def _jit_fill_left(GL0, Ws, ALs, templates):
@@ -270,12 +295,10 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     packer = Packer(CF)
     rhs = packer.pack(CF - e * I0)
 
-    def mv(v):
-        return _reg_left_op(v, ALt, rho, I0, tr_rho, packer=packer)
-
     x0 = packer.pack(gl_final0) if (
         gl_final0 is not None and gl_final0.spaces == CF.spaces) else None
-    y, _info = gmres(mv, rhs, x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
+    y, _info = gmres_plan(_RegLeftPlan(packer), (ALt, rho, I0, tr_rho), rhs,
+                          x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
     GL0 = dict(GL0)
     GL0[fin] = packer.unpack(y)
 
@@ -316,12 +339,10 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     packer = Packer(CI)
     rhs = packer.pack(CI - e * I0)
 
-    def mv(v):
-        return _reg_right_op(v, ARt, sig, I0, tr_sig, packer=packer)
-
     x0 = packer.pack(gr_init0) if (
         gr_init0 is not None and gr_init0.spaces == CI.spaces) else None
-    y, _info = gmres(mv, rhs, x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
+    y, _info = gmres_plan(_RegRightPlan(packer), (ARt, sig, I0, tr_sig), rhs,
+                          x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
     GR0 = dict(GR0)
     GR0[0] = packer.unpack(y)
 

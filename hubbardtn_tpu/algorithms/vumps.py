@@ -22,7 +22,8 @@ import numpy as np
 
 from ..mpo.fsm import MPOHamiltonian
 from ..mps.imps import UniformMPS, absorb_bond_left, absorb_bond_right
-from ..solvers.krylov import Packer, full_blocks, lanczos_ground
+from ..solvers.krylov import (Packer, full_blocks, lanczos_ground,
+                              lanczos_ground_plan)
 from ..tensor import linalg as tla
 from ..tensor.symtensor import SymTensor, tensordot
 from .environments import Environments
@@ -239,15 +240,15 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                 bs = bsites[x]
                 GLp, GRp, GL1p, GR1p = bs.ensure(GLx, GRx, GLx1, AC0, C0)
                 plan_ac, plan_c = bs.plan_ac, bs.plan_c
-                _, v_ac, _ = lanczos_ground(
-                    lambda v: _hac_batched_mv(v, GLp, GRp, plan=plan_ac),
-                    plan_ac.pack_vec(AC0), krylov_dim=krylov_dim,
-                    tol=inner_tol, max_restarts=20)
+                # fully-jitted Lanczos restarts: one dispatch + one host
+                # sync per restart instead of one dispatch per matvec
+                _, v_ac, _ = lanczos_ground_plan(
+                    plan_ac, (GLp, GRp), plan_ac.pack_vec(AC0),
+                    krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
                 ACs_new.append(plan_ac.unpack_vec(v_ac, AC0))
-                _, v_c, _ = lanczos_ground(
-                    lambda v: _hc_batched_mv(v, GL1p, GR1p, plan=plan_c),
-                    plan_c.pack_vec(C0), krylov_dim=krylov_dim,
-                    tol=inner_tol, max_restarts=20)
+                _, v_c, _ = lanczos_ground_plan(
+                    plan_c, (GL1p, GR1p), plan_c.pack_vec(C0),
+                    krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
                 Cs_new.append(plan_c.unpack_vec(v_c, C0))
                 continue
 

@@ -54,3 +54,33 @@ def shard_tree(mesh: Mesh, tree, axis_name: str = "tp"):
     """Place every leaf of a pytree according to its block sharding."""
     shardings = tree_shardings(mesh, tree, axis_name)
     return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
+def stack_sharding(mesh: Mesh, shape, axis_name: str = "tp"):
+    """Sharding for a bucketed stack (batch, *bucketed dims): prefer the
+    batch axis (embarrassingly parallel over stacked blocks), fall back to
+    the largest divisible bucket axis (pow2 buckets start at 8, so any
+    bucketed axis divides a <=8-device mesh axis)."""
+    n = mesh.devices.size
+    if shape and shape[0] % n == 0 and shape[0] >= n:
+        return NamedSharding(mesh, P(axis_name, *([None] * (len(shape) - 1))))
+    return block_sharding(mesh, shape, axis_name)
+
+
+def shard_stacks(mesh: Mesh, stacks, axis_name: str = "tp"):
+    """Place the per-class stacked arrays of a PaddedHAC/PaddedHC operand
+    (dict class-key -> (n, ...) array) across the mesh."""
+    return {ck: jax.device_put(arr, stack_sharding(mesh, arr.shape, axis_name))
+            for ck, arr in stacks.items()}
+
+
+def n_sharded_leaves(tree) -> tuple:
+    """(sharded, total) leaf counts — a leaf counts as sharded when its
+    placement is not fully replicated."""
+    split = total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        total += 1
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and not sh.is_fully_replicated:
+            split += 1
+    return split, total

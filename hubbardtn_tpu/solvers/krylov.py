@@ -14,6 +14,7 @@ argument of jitted matvecs and the trace cache stays warm across iterations.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, List, Tuple
 
 import jax
@@ -142,6 +143,139 @@ class TreePacker:
         leaves = [vec[o:o + s].reshape(shape)
                   for o, s, shape in zip(self.offsets, self.sizes, self.shapes)]
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+
+# ----------------------------------------------------------------------
+# Fully-jitted Krylov restarts: one XLA program (one device dispatch) per
+# restart instead of one per matvec.  On the remote-TPU tunnel every
+# dispatch is an RPC round trip, so this is the difference between ~k
+# round trips and 1 per restart; on-chip it removes the dispatch tail the
+# host-driven loop leaves at large chi (SURVEY.md section 2B, Krylov row).
+# ----------------------------------------------------------------------
+
+from jax import lax
+
+
+def _lanczos_restart_core(mv, v, k: int):
+    """One k-step Lanczos restart with full reorthogonalization, entirely
+    on device: fori_loop recurrence, masked tridiagonal eigensolve (rows
+    after a breakdown get a +1e30 penalty so they never win), Ritz
+    refinement.  Returns (theta, v_new, resid)."""
+    n = v.shape[0]
+    v = v / jnp.linalg.norm(v)
+    V = jnp.zeros((k + 1, n), v.dtype).at[0].set(v)
+    rdt = jnp.real(jnp.zeros((), v.dtype)).dtype
+    alphas = jnp.zeros((k,), rdt)
+    betas = jnp.zeros((k,), rdt)
+
+    def body(j, carry):
+        V, alphas, betas = carry
+        w = mv(V[j])
+        a = jnp.real(jnp.vdot(V[j], w))
+        c1 = jnp.conj(V) @ w
+        w = w - V.T @ c1
+        c2 = jnp.conj(V) @ w
+        w = w - V.T @ c2
+        b = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(jnp.where(b > 1e-300,
+                                      w / jnp.maximum(b, 1e-300), 0.0))
+        return V, alphas.at[j].set(a), betas.at[j].set(b)
+
+    V, alphas, betas = lax.fori_loop(0, k, body, (V, alphas, betas))
+    valid = jnp.concatenate([jnp.ones((1,), bool),
+                             jnp.cumprod(betas[:k - 1] > 1e-14) > 0])
+    alphas_m = jnp.where(valid, alphas, jnp.asarray(1e30, rdt))
+    betas_m = jnp.where(valid[1:], betas[:k - 1], 0.0)
+    Tm = (jnp.diag(alphas_m) + jnp.diag(betas_m, 1) + jnp.diag(betas_m, -1))
+    evals, evecs = jnp.linalg.eigh(Tm)
+    theta = evals[0]
+    c = evecs[:, 0]
+    v_new = V[:k].T @ c.astype(V.dtype)
+    v_new = v_new / jnp.linalg.norm(v_new)
+    resid = jnp.abs(betas[k - 1] * c[k - 1]) * jnp.all(valid)
+    return theta, v_new, resid
+
+
+@partial(jax.jit, static_argnames=("plan", "k"))
+def _lanczos_restart_plan(v, ops, *, plan, k: int):
+    return _lanczos_restart_core(lambda x: plan.matvec(x, *ops), v, k)
+
+
+def lanczos_ground_plan(plan, ops: tuple, v0: jnp.ndarray,
+                        krylov_dim: int = 16, tol: float = 1e-12,
+                        max_restarts: int = 100
+                        ) -> Tuple[float, jnp.ndarray, dict]:
+    """Smallest eigenpair of the hashable ``plan``'s matvec (signature
+    ``plan.matvec(v, *ops)``) with fully-jitted restarts: the host syncs
+    once per restart, on the scalar residual."""
+    v = v0
+    theta = np.inf
+    resid = np.inf
+    iters = 0
+    for _ in range(max_restarts):
+        theta, v, resid = _lanczos_restart_plan(v, ops, plan=plan,
+                                                k=krylov_dim)
+        iters += krylov_dim
+        if float(resid) < tol:
+            break
+    return float(theta), v, {"resid": float(resid), "iters": iters}
+
+
+def _gmres_restart_core(mv, x, b, k: int):
+    """One k-step GMRES restart entirely on device: Arnoldi fori_loop with
+    full reorthogonalization, SVD-based least squares on the small
+    Hessenberg, solution update.  Returns (x_new, abs_resid)."""
+    n = b.shape[0]
+    r = b - mv(x)
+    beta = jnp.linalg.norm(r)
+    V = jnp.zeros((k + 1, n), b.dtype).at[0].set(
+        jnp.where(beta > 1e-300, r / jnp.maximum(beta, 1e-300), 0.0))
+    H = jnp.zeros((k + 1, k), b.dtype)
+
+    def body(j, carry):
+        V, H = carry
+        w = mv(V[j])
+        h1 = jnp.conj(V) @ w
+        w = w - V.T @ h1
+        h2 = jnp.conj(V) @ w
+        w = w - V.T @ h2
+        hb = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(jnp.where(hb > 1e-300,
+                                      w / jnp.maximum(hb, 1e-300), 0.0))
+        col = (h1 + h2).at[j + 1].set(hb.astype(b.dtype))
+        return V, H.at[:, j].set(col)
+
+    V, H = lax.fori_loop(0, k, body, (V, H))
+    e1 = jnp.zeros((k + 1,), b.dtype).at[0].set(beta.astype(b.dtype))
+    y, _res, _rank, _sv = jnp.linalg.lstsq(H, e1)
+    x_new = x + V[:k].T @ y
+    resid = jnp.linalg.norm(H @ y - e1)
+    return x_new, resid
+
+
+@partial(jax.jit, static_argnames=("plan", "k"))
+def _gmres_restart_plan(x, b, ops, *, plan, k: int):
+    return _gmres_restart_core(lambda v: plan.matvec(v, *ops), x, b, k)
+
+
+def gmres_plan(plan, ops: tuple, b: jnp.ndarray, x0: jnp.ndarray = None,
+               krylov_dim: int = 30, tol: float = 1e-12,
+               max_restarts: int = 50) -> Tuple[jnp.ndarray, dict]:
+    """Solve ``plan.matvec(x, *ops) = b`` with fully-jitted GMRES restarts
+    (one dispatch + one scalar host sync per restart)."""
+    bnorm = float(jnp.linalg.norm(b))
+    if bnorm == 0.0:
+        return jnp.zeros_like(b), {"resid": 0.0, "iters": 0}
+    x = x0 if x0 is not None else jnp.zeros_like(b)
+    res = np.inf
+    iters = 0
+    for _ in range(max_restarts):
+        x, resid = _gmres_restart_plan(x, b, ops, plan=plan, k=krylov_dim)
+        iters += krylov_dim
+        res = float(resid) / bnorm
+        if res < tol:
+            break
+    return x, {"resid": res, "iters": iters}
 
 
 # ----------------------------------------------------------------------

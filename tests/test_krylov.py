@@ -1,0 +1,95 @@
+"""Krylov solvers on known matrices: host-loop vs fully-jitted restarts.
+
+The jitted-restart variants (one XLA dispatch + one scalar host sync per
+restart) must agree with dense eigensolves/solves to solver tolerance —
+including after Lanczos breakdown (invariant subspace), where the masked
+tridiagonal must not surface spurious penalty eigenvalues.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hubbardtn_tpu.solvers.krylov import (gmres, gmres_plan, lanczos_ground,
+                                          lanczos_ground_plan)
+
+
+class MatPlan:
+    """Hashable dense-matrix matvec plan (test double for PaddedHAC)."""
+
+    def __init__(self, tag):
+        self.tag = tag
+
+    def matvec(self, v, A):
+        return A @ v
+
+    def __hash__(self):
+        return hash(("mat", self.tag))
+
+    def __eq__(self, other):
+        return isinstance(other, MatPlan) and self.tag == other.tag
+
+
+def _hermitian(n, seed, complex_=False):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    if complex_:
+        A = A + 1j * rng.standard_normal((n, n))
+    return 0.5 * (A + A.conj().T)
+
+
+@pytest.mark.parametrize("complex_", [False, True])
+def test_lanczos_plan_matches_dense(complex_):
+    A = _hermitian(60, 0, complex_)
+    v0 = np.random.default_rng(1).standard_normal(60).astype(A.dtype)
+    theta, v, info = lanczos_ground_plan(MatPlan(0), (jnp.asarray(A),),
+                                         jnp.asarray(v0), krylov_dim=20,
+                                         tol=1e-10, max_restarts=50)
+    w = np.linalg.eigvalsh(A)
+    assert abs(theta - w[0]) < 1e-8
+    r = A @ np.asarray(v) - theta * np.asarray(v)
+    assert np.linalg.norm(r) < 1e-7
+
+
+def test_lanczos_plan_matches_host_loop():
+    A = _hermitian(40, 3)
+    v0 = np.random.default_rng(4).standard_normal(40)
+    t1, _, _ = lanczos_ground(lambda v: jnp.asarray(A) @ v, jnp.asarray(v0),
+                              krylov_dim=16, tol=1e-10, max_restarts=50)
+    t2, _, _ = lanczos_ground_plan(MatPlan(1), (jnp.asarray(A),),
+                                   jnp.asarray(v0), krylov_dim=16,
+                                   tol=1e-10, max_restarts=50)
+    assert abs(t1 - t2) < 1e-8
+
+
+def test_lanczos_breakdown_invariant_subspace():
+    """Start in an exact 2-dim invariant subspace with POSITIVE eigenvalues:
+    breakdown at step 2 must not leak the 1e30 penalty rows nor a spurious
+    zero eigenvalue below the true minimum."""
+    d = np.array([5.0, 7.0, 11.0, 13.0])
+    A = np.diag(d)
+    v0 = np.array([1.0, 1.0, 0.0, 0.0])
+    theta, v, info = lanczos_ground_plan(MatPlan(2), (jnp.asarray(A),),
+                                         jnp.asarray(v0), krylov_dim=8,
+                                         tol=1e-10, max_restarts=5)
+    assert abs(theta - 5.0) < 1e-9          # min over the invariant subspace
+    assert abs(abs(np.asarray(v)[0]) - 1.0) < 1e-8
+
+
+@pytest.mark.parametrize("complex_", [False, True])
+def test_gmres_plan_matches_dense(complex_):
+    rng = np.random.default_rng(7)
+    n = 50
+    # keep the field of values in the right half plane (restarted GMRES
+    # stagnates on indefinite operators regardless of implementation)
+    A = np.eye(n) + 0.12 * rng.standard_normal((n, n))
+    if complex_:
+        A = A + 0.05j * rng.standard_normal((n, n))
+    b = rng.standard_normal(n).astype(A.dtype)
+    x, info = gmres_plan(MatPlan(3), (jnp.asarray(A),), jnp.asarray(b),
+                         krylov_dim=25, tol=1e-12, max_restarts=20)
+    assert np.linalg.norm(A @ np.asarray(x) - b) < 1e-9 * np.linalg.norm(b)
+    # agrees with the host-loop gmres
+    x2, _ = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                  krylov_dim=25, tol=1e-12, max_restarts=20)
+    assert np.linalg.norm(np.asarray(x) - np.asarray(x2)) < 1e-7

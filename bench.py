@@ -133,6 +133,10 @@ class SweepBench:
             for x in range(T)]
         self.GR1p = [self.plans_c[x].pack_gr(self.GR3[x]) for x in range(T)]
 
+        from hubbardtn_tpu.algorithms.batched_gauge import PolarGaugePlan
+        self.gauge_plans = [PolarGaugePlan(self.ACs[x],
+                                           self.Cs[(x - 1) % T],
+                                           self.Cs[x]) for x in range(T)]
         self._build_env_refresh()
         self._build_repack()
 
@@ -251,16 +255,20 @@ class SweepBench:
         return run, flops
 
     def stage_gauge(self):
-        from hubbardtn_tpu.algorithms.vumps import _gauge_site
+        """Bucketed Newton-Schulz polar gauge (matmul-only; the per-block
+        Householder QR path costs ~20 ms at this size on TPU)."""
+        from hubbardtn_tpu.algorithms.batched_gauge import gauge_site_polar
+        plans = self.gauge_plans
 
         def run():
-            return [_gauge_site(self.ACs[x], self.Cs[(x - 1) % self.T],
-                                self.Cs[x]) for x in range(self.T)]
+            return [gauge_site_polar(self.ACs[x], self.Cs[(x - 1) % self.T],
+                                     self.Cs[x], plan=plans[x])
+                    for x in range(self.T)]
 
         def flops():
-            return sum(_flops_of(_gauge_site.lower(
-                self.ACs[x], self.Cs[(x - 1) % self.T], self.Cs[x]))
-                for x in range(self.T))
+            return sum(_flops_of(gauge_site_polar.lower(
+                self.ACs[x], self.Cs[(x - 1) % self.T], self.Cs[x],
+                plan=plans[x])) for x in range(self.T))
 
         return run, flops
 

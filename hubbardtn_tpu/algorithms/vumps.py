@@ -221,6 +221,13 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         from ..mpo.channel_pack import PackedMPO
         pm = PackedMPO(H)
         bsites = [_BatchedSite(H, pm, x, psi) for x in range(T)]
+    # polar (matmul-only) gauge on f32 — the TPU deployment dtype; QR keeps
+    # exact isometries for the f64 convergence runs (HTN_GAUGE overrides)
+    gauge_mode = _os.environ.get("HTN_GAUGE", "auto")
+    use_polar = gauge_mode == "polar" or (
+        gauge_mode == "auto"
+        and jnp.dtype(psi.ALs[0].dtype) == jnp.dtype(jnp.float32))
+    gauge_plans: Dict[int, tuple] = {}
     for it in range(maxiter):
         # dynamic inner tolerance: eigenproblems a bit tighter than the error
         inner_tol = max(min(1e-3, err * 1e-2), tol * 1e-2)
@@ -267,8 +274,20 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         ALs_new, ARs_new = [], []
         err = 0.0
         for x in range(T):
-            AL, AR, dl, dr = _gauge_site(ACs_new[x], Cs_new[(x - 1) % T],
-                                         Cs_new[x])
+            if use_polar:
+                key = (ACs_new[x].structure(), Cs_new[(x - 1) % T].structure(),
+                       Cs_new[x].structure())
+                if gauge_plans.get(x, (None, None))[0] != key:
+                    from .batched_gauge import PolarGaugePlan
+                    gauge_plans[x] = (key, PolarGaugePlan(
+                        ACs_new[x], Cs_new[(x - 1) % T], Cs_new[x]))
+                from .batched_gauge import gauge_site_polar
+                AL, AR, dl, dr = gauge_site_polar(
+                    ACs_new[x], Cs_new[(x - 1) % T], Cs_new[x],
+                    plan=gauge_plans[x][1])
+            else:
+                AL, AR, dl, dr = _gauge_site(ACs_new[x], Cs_new[(x - 1) % T],
+                                             Cs_new[x])
             ALs_new.append(AL)
             ARs_new.append(AR)
             err = max(err, float(dl), float(dr))

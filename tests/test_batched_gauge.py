@@ -1,0 +1,70 @@
+"""Bucketed Newton-Schulz polar gauge vs exact QR-based gauge.
+
+At a CONSISTENT gauge point (AC = AL C = C' AR with isometric AL/AR and a
+well-conditioned C) the polar factors satisfy U(AL C) = AL U(C), so the
+polar gauge must reproduce AL and AR exactly; the gauge errors must vanish.
+This pins the bucketed NS iteration, the pad-exactness, and the transposed
+right-isometry path in float64.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hubbardtn_tpu.algorithms.batched_gauge import (PolarGaugePlan,
+                                                    gauge_site_polar)
+from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
+from hubbardtn_tpu.mps.imps import (absorb_bond_left, absorb_bond_right,
+                                    initialize_mps)
+from hubbardtn_tpu.tensor.symtensor import tensordot
+
+
+def _consistent_point():
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=10,
+                         seed=3, cells=2)
+    x = 0
+    AL, AR = psi.ALs[x], psi.ARs[x]
+    Cl, Cr = psi.Cs[(x - 1) % psi.T], psi.Cs[x]
+    AC = absorb_bond_right(AL, Cr)
+    return AC, Cl, Cr, AL, AR
+
+
+def test_polar_gauge_recovers_isometries():
+    AC, Cl, Cr, AL, AR = _consistent_point()
+    plan = PolarGaugePlan(AC, Cl, Cr, iters=40)
+    AL2, AR2, dl, dr = gauge_site_polar(AC, Cl, Cr, plan=plan)
+    assert float((AL2 - AL).norm()) < 1e-8
+    assert float(dl) < 1e-9
+    # the AR side closes through AC = Cl AR
+    assert float((absorb_bond_left(Cl, AR2) - AC).norm()) < 1e-8
+    assert float(dr) < 1e-8
+    # isometry conditions
+    gl = tensordot(AL2.conj(), AL2, axes=([0, 1], [0, 1]))
+    from hubbardtn_tpu.mps.imps import bond_identity
+    I = bond_identity(AL2.group, AL2.spaces[2], dtype=AL2.dtype)
+    assert float((gl - I).norm()) < 1e-9
+    gr = tensordot(AR2, AR2.conj(), axes=([1, 2], [1, 2]))
+    Il = bond_identity(AR2.group, AR2.spaces[0], dtype=AR2.dtype)
+    assert float((gr - Il).norm()) < 1e-9
+
+
+def test_polar_gauge_matches_qr_errors_random():
+    """On a random (inconsistent) AC the polar and QR gauges differ, but
+    both must produce exact isometries and comparable gauge errors."""
+    from hubbardtn_tpu.algorithms.vumps import _gauge_site
+    from hubbardtn_tpu.solvers.krylov import full_blocks
+    from hubbardtn_tpu.tensor.symtensor import SymTensor
+    AC, Cl, Cr, AL, AR = _consistent_point()
+    rng_t = SymTensor.random(AC.group, AC.spaces, AC.arrows, seed=11)
+    AC2 = full_blocks(AC + 0.3 * rng_t)
+    plan = PolarGaugePlan(AC2, Cl, Cr, iters=40)
+    ALp, ARp, dlp, drp = gauge_site_polar(AC2, Cl, Cr, plan=plan)
+    ALq, ARq, dlq, drq = _gauge_site(AC2, Cl, Cr)
+    gl = tensordot(ALp.conj(), ALp, axes=([0, 1], [0, 1]))
+    from hubbardtn_tpu.mps.imps import bond_identity
+    I = bond_identity(ALp.group, ALp.spaces[2], dtype=ALp.dtype)
+    assert float((gl - I).norm()) < 1e-7
+    # same ballpark of gauge error as the QR route (within 2x)
+    assert float(dlp) < 2 * float(dlq) + 1e-8
+    assert float(drp) < 2 * float(drq) + 1e-8

@@ -144,12 +144,13 @@ class SweepBench:
     def _build_env_refresh(self):
         import math
 
+        from hubbardtn_tpu.algorithms.batched_env import (RegLeftPackedPlan,
+                                                          RegRightPackedPlan)
         from hubbardtn_tpu.algorithms.environments import (
-            _RegLeftPlan, _RegRightPlan, _jit_fill_left, _jit_fill_right,
-            _presweep_left, _presweep_right, _zero_env_left, _zero_env_right,
-            pair_envs, rho_left, rho_right)
+            _jit_fill_left, _jit_fill_right, _presweep_left, _presweep_right,
+            _zero_env_left, _zero_env_right, pair_envs, rho_left, rho_right)
         from hubbardtn_tpu.mps.imps import bond_identity
-        from hubbardtn_tpu.solvers.krylov import (Packer, _gmres_restart_core,
+        from hubbardtn_tpu.solvers.krylov import (_gmres_restart_core,
                                                   full_blocks)
 
         H, T, dtype = self.H, self.T, self.dtype
@@ -162,9 +163,10 @@ class SweepBench:
         I0R = bond_identity(g, self.Vs[T - 1], dtype=dtype)
         fin = H.idx_final(0)
         ns = max(2, math.ceil(H.max_len / T) + 1)
-        pkL = Packer(full_blocks(tmplL[0][fin]))
-        pkR = Packer(full_blocks(tmplR[T - 1][0]))
-        regL, regR = _RegLeftPlan(pkL), _RegRightPlan(pkR)
+        regL = RegLeftPackedPlan(self.ALs, dtype=dtype)
+        regR = RegRightPackedPlan(self.ARs, dtype=dtype)
+        tmpl_CF = full_blocks(tmplL[0][fin])
+        tmpl_CI = full_blocks(tmplR[T - 1][0])
 
         def refresh(ALs, ARs, Cs, Ws, tmplL, tmplR, I0L, I0R):
             ALs, ARs, Ws = tuple(ALs), tuple(ARs), tuple(Ws)
@@ -173,24 +175,29 @@ class SweepBench:
             rho = rho_right(Cs[T - 1])
             tr = pair_envs(I0L, rho)
             e = pair_envs(CF, rho) / tr
-            rhs = pkL.pack(CF - e * I0L)
+            astL = regL.pack_As(ALs)
+            opsL = (astL, regL.layout.pack_transposed(rho),
+                    regL.layout.pack(I0L), tr)
+            rhs = regL.layout.pack(CF) - e * opsL[2]
             y, _ = _gmres_restart_core(
-                lambda v: regL.matvec(v, ALs, rho, I0L, tr),
-                jnp.zeros_like(rhs), rhs, 30)
+                lambda v: regL.matvec(v, *opsL), jnp.zeros_like(rhs), rhs, 30)
             GL0 = dict(GL0)
-            GL0[fin] = pkL.unpack(y)
+            GL0[fin] = regL.layout.unpack(y, tmpl_CF)
             GLs = _jit_fill_left(GL0, Ws, ALs, tmplL)
 
             GR0, CI = _presweep_right(tmplR[T - 1], Ws, ARs, I0R, n_sweeps=ns)
             sig = rho_left(Cs[T - 1])
             trs = pair_envs(sig, I0R)
             er = pair_envs(sig, CI) / trs
-            rhsr = pkR.pack(CI - er * I0R)
+            astR = regR.pack_As(ARs)
+            opsR = (astR, regR.layout.pack_transposed(sig),
+                    regR.layout.pack(I0R), trs)
+            rhsr = regR.layout.pack(CI) - er * opsR[2]
             yr, _ = _gmres_restart_core(
-                lambda v: regR.matvec(v, ARs, sig, I0R, trs),
-                jnp.zeros_like(rhsr), rhsr, 30)
+                lambda v: regR.matvec(v, *opsR), jnp.zeros_like(rhsr),
+                rhsr, 30)
             GR0 = dict(GR0)
-            GR0[0] = pkR.unpack(yr)
+            GR0[0] = regR.layout.unpack(yr, tmpl_CI)
             GRs = _jit_fill_right(GR0, Ws, ARs, tmplR)
             return GLs, GRs, e + er
 
@@ -291,14 +298,18 @@ class SweepBench:
         return run, flops
 
 
-def _time_stage(run, reps=5):
+def _time_stage(run, reps=4, groups=4):
+    """Min over timing groups: robust to host contention / tunnel jitter."""
     out = run()  # compile + warm
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+    best = np.inf
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+    return best
 
 
 def matvec_bench(bench, dev, reps=30):

@@ -292,15 +292,28 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     tr_rho = pair_envs(I0, rho)
     e = pair_envs(CF, rho) / tr_rho
 
-    packer = Packer(CF)
-    rhs = packer.pack(CF - e * I0)
-
-    x0 = packer.pack(gl_final0) if (
-        gl_final0 is not None and gl_final0.spaces == CF.spaces) else None
-    y, _info = gmres_plan(_RegLeftPlan(packer), (ALt, rho, I0, tr_rho), rhs,
-                          x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
     GL0 = dict(GL0)
-    GL0[fin] = packer.unpack(y)
+    if type(CF) is SymTensor and CF.ndim == 2:
+        # abelian: fully-bucketed batched transfer inside the GMRES restart
+        from .batched_env import RegLeftPackedPlan
+        plan = RegLeftPackedPlan(psi, dtype=dtype)
+        ops = (plan.pack_As(psi), plan.layout.pack_transposed(rho),
+               plan.layout.pack(I0), tr_rho)
+        rhs = plan.layout.pack(CF) - e * ops[2]
+        x0 = plan.layout.pack(gl_final0) if (
+            gl_final0 is not None and gl_final0.spaces == CF.spaces) else None
+        y, _info = gmres_plan(plan, ops, rhs, x0=x0, krylov_dim=30, tol=tol,
+                              max_restarts=20)
+        GL0[fin] = plan.layout.unpack(y, CF)
+    else:
+        packer = Packer(CF)
+        rhs = packer.pack(CF - e * I0)
+        x0 = packer.pack(gl_final0) if (
+            gl_final0 is not None and gl_final0.spaces == CF.spaces) else None
+        y, _info = gmres_plan(_RegLeftPlan(packer), (ALt, rho, I0, tr_rho),
+                              rhs, x0=x0, krylov_dim=30, tol=tol,
+                              max_restarts=20)
+        GL0[fin] = packer.unpack(y)
 
     GLs = _fill_left(GL0, Wt, ALt, templates)
     return list(GLs), e
@@ -336,15 +349,27 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     tr_sig = pair_envs(sig, I0)
     e = pair_envs(sig, CI) / tr_sig
 
-    packer = Packer(CI)
-    rhs = packer.pack(CI - e * I0)
-
-    x0 = packer.pack(gr_init0) if (
-        gr_init0 is not None and gr_init0.spaces == CI.spaces) else None
-    y, _info = gmres_plan(_RegRightPlan(packer), (ARt, sig, I0, tr_sig), rhs,
-                          x0=x0, krylov_dim=30, tol=tol, max_restarts=20)
     GR0 = dict(GR0)
-    GR0[0] = packer.unpack(y)
+    if type(CI) is SymTensor and CI.ndim == 2:
+        from .batched_env import RegRightPackedPlan
+        plan = RegRightPackedPlan(psi, dtype=dtype)
+        ops = (plan.pack_As(psi), plan.layout.pack_transposed(sig),
+               plan.layout.pack(I0), tr_sig)
+        rhs = plan.layout.pack(CI) - e * ops[2]
+        x0 = plan.layout.pack(gr_init0) if (
+            gr_init0 is not None and gr_init0.spaces == CI.spaces) else None
+        y, _info = gmres_plan(plan, ops, rhs, x0=x0, krylov_dim=30, tol=tol,
+                              max_restarts=20)
+        GR0[0] = plan.layout.unpack(y, CI)
+    else:
+        packer = Packer(CI)
+        rhs = packer.pack(CI - e * I0)
+        x0 = packer.pack(gr_init0) if (
+            gr_init0 is not None and gr_init0.spaces == CI.spaces) else None
+        y, _info = gmres_plan(_RegRightPlan(packer), (ARt, sig, I0, tr_sig),
+                              rhs, x0=x0, krylov_dim=30, tol=tol,
+                              max_restarts=20)
+        GR0[0] = packer.unpack(y)
 
     GRs = _fill_right(GR0, Wt, ARt, templates)
     return list(GRs), e

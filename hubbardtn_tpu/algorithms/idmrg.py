@@ -24,12 +24,34 @@ import numpy as np
 
 from ..mpo.fsm import MPOHamiltonian
 from ..mps.imps import UniformMPS, absorb_bond_left
-from ..solvers.krylov import Packer, full_blocks, lanczos_ground
+from ..solvers.krylov import (Packer, full_blocks, lanczos_ground,
+                              lanczos_ground_plan)
 from ..tensor import linalg as tla
 from ..tensor.symtensor import SymTensor, tensordot
 from .changebonds import expand_bonds, svd_cut
 from .environments import Environments, mpo_transfer_left
-from .vumps import VUMPSResult, _h_ac2_packed
+from .vumps import VUMPSResult, apply_H_AC2
+
+
+class _DictHAC2Plan:
+    """Hashable two-site effective-Hamiltonian matvec plan (jitted-restart
+    Lanczos drives it with one dispatch per restart)."""
+
+    __slots__ = ("packer",)
+
+    def __init__(self, packer: Packer):
+        self.packer = packer
+
+    def matvec(self, v, GL, W0, W1, GR):
+        return self.packer.pack(
+            apply_H_AC2(GL, W0, W1, GR, self.packer.unpack(v)))
+
+    def __hash__(self):
+        return hash(("dictHAC2", self.packer))
+
+    def __eq__(self, other):
+        return (isinstance(other, _DictHAC2Plan)
+                and self.packer == other.packer)
 
 
 def _sweep(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
@@ -48,11 +70,9 @@ def _sweep(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         GRx1 = envs.GRs[x1]
         W0, W1 = H.Ws[x], H.Ws[x1]
 
-        def mv(v, GL=GL, W0=W0, W1=W1, GR=GRx1, pk=pk):
-            return _h_ac2_packed(v, GL, W0, W1, GR, packer=pk)
-
-        _, v2, _ = lanczos_ground(mv, pk.pack(AC2), krylov_dim=krylov_dim,
-                                  tol=tol, max_restarts=20)
+        _, v2, _ = lanczos_ground_plan(
+            _DictHAC2Plan(pk), (GL, W0, W1, GRx1), pk.pack(AC2),
+            krylov_dim=krylov_dim, tol=tol, max_restarts=20)
         AC2n = pk.unpack(v2)
         # project onto the existing bond-x sector structure
         U, ss, Vh, bond = tla.svd_project(AC2n, 2, psi.bond_space(x))

@@ -134,6 +134,42 @@ def _hc_batched_mv(vec, GLp, GRp, *, plan):
     return plan.matvec(vec, GLp, GRp)
 
 
+class _DictHACPlan:
+    """Hashable matvec plan for the per-channel dict path (SU(2) backend
+    and any structure the bucketed kernels don't cover): lets the fully-
+    jitted Lanczos restarts of solvers/krylov drive apply_H_AC too."""
+
+    __slots__ = ("packer",)
+
+    def __init__(self, packer: Packer):
+        self.packer = packer
+
+    def matvec(self, v, GL, W, GR):
+        return self.packer.pack(apply_H_AC(GL, W, GR, self.packer.unpack(v)))
+
+    def __hash__(self):
+        return hash(("dictHAC", self.packer))
+
+    def __eq__(self, other):
+        return isinstance(other, _DictHACPlan) and self.packer == other.packer
+
+
+class _DictHCPlan:
+    __slots__ = ("packer",)
+
+    def __init__(self, packer: Packer):
+        self.packer = packer
+
+    def matvec(self, v, GL, GR):
+        return self.packer.pack(apply_H_C(GL, GR, self.packer.unpack(v)))
+
+    def __hash__(self):
+        return hash(("dictHC", self.packer))
+
+    def __eq__(self, other):
+        return isinstance(other, _DictHCPlan) and self.packer == other.packer
+
+
 class _BatchedSite:
     """Per-site bucketed solvers (built once per block structure): packs the
     channel dicts into stacked class arrays and runs the batched matvecs of
@@ -259,16 +295,14 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                 Cs_new.append(plan_c.unpack_vec(v_c, C0))
                 continue
 
-            _, v_ac, _ = lanczos_ground(
-                lambda v: _h_ac_packed(v, GLx, Wx, GRx, packer=pk_ac),
-                pk_ac.pack(psi.AC(x)), krylov_dim=krylov_dim, tol=inner_tol,
-                max_restarts=20)
+            _, v_ac, _ = lanczos_ground_plan(
+                _DictHACPlan(pk_ac), (GLx, Wx, GRx), pk_ac.pack(psi.AC(x)),
+                krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
             ACs_new.append(pk_ac.unpack(v_ac))
 
-            _, v_c, _ = lanczos_ground(
-                lambda v: _h_c_packed(v, GLx1, GRx, packer=pk_c),
-                pk_c.pack(psi.Cs[x]), krylov_dim=krylov_dim, tol=inner_tol,
-                max_restarts=20)
+            _, v_c, _ = lanczos_ground_plan(
+                _DictHCPlan(pk_c), (GLx1, GRx), pk_c.pack(psi.Cs[x]),
+                krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
             Cs_new.append(pk_c.unpack(v_c))
 
         ALs_new, ARs_new = [], []

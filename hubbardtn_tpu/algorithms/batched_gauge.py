@@ -6,18 +6,20 @@ QR lowers to sequential custom calls that dominate the iteration (~20 ms of
 a 44 ms chi~2752 iteration, bench.py round 2), while the polar factor can be
 computed with matmuls alone: the Newton-Schulz iteration
 
-    U <- 1.5 U - 0.5 U (U^dag U),   U_0 = X / ||X||_F
+    U <- 1.5 U - 0.5 U (U^dag U),   U_0 = X / s_max-bound
 
 converges to the orthogonal polar factor for every singular direction
 (s -> 1.5 s - 0.5 s^3).  The original VUMPS formulation (PRB 97, 045145)
 uses exactly these polar gauges; MPSKit's QRpos is an equivalent choice.
 
-TPU-native structure: all per-sector matrices are bucketed into pow2 shape
-classes (same scheme as algorithms/batched_hac.py) so the whole NS
-recurrence is a few dozen batched einsums on the MXU instead of thousands
-of tiny sequential factorizations.  Zero padding is exact: pad rows/cols
-stay identically zero through the iteration.  Wide blocks (rows < cols,
-rare transients) fall back to per-block QR.
+TPU-native structure: the per-sector matrices of ALL FOUR factorizations
+(AC 2-row, AC 1-row-transposed, C left/right) are bucketed JOINTLY into
+pow2 shape classes, so one gauge update runs a handful of batched-einsum
+NS chains on the MXU instead of thousands of tiny sequential
+factorizations.  Scaling uses Higham's bound ||X||_2 <= sqrt(||X||_1
+||X||_inf) (tighter than Frobenius by ~sqrt(rank), saving ~5 iterations).
+Zero padding is exact: pad rows/cols stay identically zero.  Wide blocks
+(rows < cols for a left factor, transients only) fall back to per-block QR.
 """
 
 from __future__ import annotations
@@ -47,8 +49,11 @@ def _bucket(d: int) -> int:
 
 def _ns_polar_stack(X: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Newton-Schulz polar factor of a (n, R, C) stack with R >= C."""
-    nrm = jnp.sqrt(jnp.sum(jnp.abs(X) ** 2, axis=(1, 2), keepdims=True))
-    U = X / jnp.maximum(nrm, 1e-30)
+    # Higham scaling: ||X||_2 <= sqrt(||X||_1 ||X||_inf), per stack entry
+    a1 = jnp.max(jnp.sum(jnp.abs(X), axis=1), axis=-1)   # max col sum
+    ai = jnp.max(jnp.sum(jnp.abs(X), axis=2), axis=-1)   # max row sum
+    s = jnp.sqrt(jnp.maximum(a1 * ai, 1e-60))
+    U = X / s[:, None, None]
 
     def body(_, U):
         G = jnp.einsum("bij,bik->bjk", jnp.conj(U), U)
@@ -57,102 +62,72 @@ def _ns_polar_stack(X: jnp.ndarray, iters: int) -> jnp.ndarray:
     return lax.fori_loop(0, iters, body, U)
 
 
-class _PolarSide:
-    """Static plan for the isometry factor of one matricization."""
-
-    def __init__(self, template: SymTensor, nrows: int, right: bool,
-                 iters: int):
-        self.nrows = nrows
-        self.right = right
-        self.iters = iters
-        # shape discovery on the host device: eager block writes on a
-        # remote-TPU default device would cost one RPC each
-        with jax.default_device(jax.devices("cpu")[0]):
-            mats, rowinfo, colinfo = matricize(full_like_zero(template),
-                                               nrows)
-        self.sectors = sorted(mats.keys())
-        self.shapes = {r: tuple(mats[r].shape) for r in self.sectors}
-        # orientation: left isometry wants tall (rows >= cols); right
-        # isometry wants wide, handled by transposing into the NS stack
-        self.classes: Dict[Tuple[int, int], list] = defaultdict(list)
-        self.fallback = []
-        for r in self.sectors:
-            R, C = self.shapes[r]
-            a, b = (C, R) if right else (R, C)
-            if a >= b:
-                self.classes[(_bucket(a), _bucket(b))].append(r)
-            else:
-                self.fallback.append(r)
-        self.class_keys = sorted(self.classes.keys())
-        bond = {}
-        for r in self.sectors:
-            R, C = self.shapes[r]
-            bond[r] = min(R, C)
-        self.bond_space_dims = bond
-
-    def factor(self, T: SymTensor):
-        """Isometry factor as a SymTensor ((rows..., bond) for left,
-        (bond, cols...) for right)."""
-        mats, rowinfo, colinfo = matricize(T, self.nrows)
-
-        def mat_of(r):
-            m = mats.get(r)
-            if m is None:
-                m = jnp.zeros(self.shapes[r], dtype=T.dtype)
-            return m
-
-        Qs: Dict = {}
-        for ck in self.class_keys:
-            rs = self.classes[ck]
-            X = jnp.zeros((len(rs),) + ck, dtype=T.dtype)
-            for i, r in enumerate(rs):
-                m = mat_of(r)
-                if self.right:
-                    m = jnp.swapaxes(jnp.conj(m), 0, 1)
-                X = X.at[i, :m.shape[0], :m.shape[1]].set(m)
-            U = _ns_polar_stack(X, self.iters)
-            for i, r in enumerate(rs):
-                R, C = self.shapes[r]
-                if self.right:
-                    Qs[r] = jnp.swapaxes(jnp.conj(U[i, :C, :R]), 0, 1)
-                else:
-                    Qs[r] = U[i, :R, :C]
-        for r in self.fallback:  # wide-for-left / tall-for-right transients
-            m = mat_of(r)
-            if self.right:
-                qt, rt = jnp.linalg.qr(jnp.conj(m.T), mode="reduced")
-                qt, _ = _pos_diag(qt, rt)
-                Qs[r] = jnp.conj(qt.T)
-            else:
-                q, rr = jnp.linalg.qr(m, mode="reduced")
-                q, _ = _pos_diag(q, rr)
-                Qs[r] = q
-        bond_space = Space(T.group, {r: (Qs[r].shape[0] if self.right
-                                         else Qs[r].shape[1])
-                                     for r in Qs})
-        if self.right:
-            return _right_factor(T, self.nrows, colinfo, Qs, bond_space)
-        return _left_factor(T, self.nrows, rowinfo, Qs, bond_space)
-
-
 def full_like_zero(t: SymTensor) -> SymTensor:
     """Template with the complete allowed-block table (host, cheap)."""
     z = type(t).zeros(t.group, t.spaces, t.arrows, t.charge, t.dtype)
     return z + t
 
 
+class _SideMeta:
+    """Static metadata for one matricization side."""
+
+    __slots__ = ("nrows", "right", "sectors", "shapes", "fallback")
+
+    def __init__(self, template: SymTensor, nrows: int, right: bool):
+        self.nrows = nrows
+        self.right = right
+        with jax.default_device(jax.devices("cpu")[0]):
+            mats, _ri, _ci = matricize(full_like_zero(template), nrows)
+        self.sectors = sorted(mats.keys())
+        self.shapes = {r: tuple(mats[r].shape) for r in self.sectors}
+        self.fallback = []
+        for r in self.sectors:
+            R, C = self.shapes[r]
+            a, b = (C, R) if right else (R, C)
+            if a < b:
+                self.fallback.append(r)
+
+    def tall_shape(self, r):
+        R, C = self.shapes[r]
+        return (C, R) if self.right else (R, C)
+
+    def _sig(self):
+        return (self.nrows, self.right, tuple(self.sectors),
+                tuple(sorted(self.shapes.items())))
+
+
 class PolarGaugePlan:
     """Per-site bucketed polar gauge: (AC, C_left, C_right) -> (AL, AR,
     gauge errors).  Hashable on the static block structures so the whole
-    update jits as one program."""
+    update jits as one program; the NS chains of all four factorizations
+    share bucket classes."""
+
+    SIDES = ("ac2", "cr", "ac1", "cl")
 
     def __init__(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor,
-                 iters: int = 30):
-        self.p_ac2 = _PolarSide(AC, 2, right=False, iters=iters)
-        self.p_cr = _PolarSide(Cr, 1, right=False, iters=iters)
-        self.p_ac1 = _PolarSide(AC, 1, right=True, iters=iters)
-        self.p_cl = _PolarSide(Cl, 1, right=True, iters=iters)
-        self._sig = (AC.structure(), Cl.structure(), Cr.structure(), iters)
+                 iters: int = 26):
+        self.iters = iters
+        self.meta = {
+            "ac2": _SideMeta(AC, 2, right=False),
+            "cr": _SideMeta(Cr, 1, right=False),
+            "ac1": _SideMeta(AC, 1, right=True),
+            "cl": _SideMeta(Cl, 1, right=True),
+        }
+        # joint bucket classes over (side, sector) in tall orientation
+        self.classes: Dict[Tuple[int, int], list] = defaultdict(list)
+        self.pos: Dict = {}
+        for side in self.SIDES:
+            m = self.meta[side]
+            for r in m.sectors:
+                if r in m.fallback:
+                    continue
+                a, b = m.tall_shape(r)
+                ck = (_bucket(a), _bucket(b))
+                self.pos[(side, r)] = (ck, len(self.classes[ck]))
+                self.classes[ck].append((side, r))
+        self.class_keys = sorted(self.classes.keys())
+        self._sig = (tuple((s, self.meta[s]._sig()) for s in self.SIDES),
+                     iters)
 
     def __hash__(self):
         return hash(self._sig)
@@ -161,13 +136,73 @@ class PolarGaugePlan:
         return (isinstance(other, PolarGaugePlan)
                 and self._sig == other._sig)
 
+    # -- core -------------------------------------------------------------
+    def _factors(self, tensors: Dict[str, SymTensor]):
+        """All four isometry factors via joint batched NS."""
+        mats = {}
+        infos = {}
+        for side in self.SIDES:
+            m = self.meta[side]
+            mm, ri, ci = matricize(tensors[side], m.nrows)
+            mats[side] = mm
+            infos[side] = (ri, ci)
+
+        def mat_of(side, r):
+            m = mats[side].get(r)
+            if m is None:
+                m = jnp.zeros(self.meta[side].shapes[r],
+                              dtype=tensors[side].dtype)
+            return m
+
+        dtype = tensors["ac2"].dtype
+        Qs: Dict[str, Dict] = {side: {} for side in self.SIDES}
+        for ck in self.class_keys:
+            entries = self.classes[ck]
+            X = jnp.zeros((len(entries),) + ck, dtype=dtype)
+            for i, (side, r) in enumerate(entries):
+                m = mat_of(side, r)
+                if self.meta[side].right:
+                    m = jnp.swapaxes(jnp.conj(m), 0, 1)
+                X = X.at[i, :m.shape[0], :m.shape[1]].set(m)
+            U = _ns_polar_stack(X, self.iters)
+            for i, (side, r) in enumerate(entries):
+                R, C = self.meta[side].shapes[r]
+                if self.meta[side].right:
+                    Qs[side][r] = jnp.swapaxes(jnp.conj(U[i, :C, :R]), 0, 1)
+                else:
+                    Qs[side][r] = U[i, :R, :C]
+        # wide transients: per-block QR
+        for side in self.SIDES:
+            m = self.meta[side]
+            for r in m.fallback:
+                blk = mat_of(side, r)
+                if m.right:
+                    qt, rt = jnp.linalg.qr(jnp.conj(blk.T), mode="reduced")
+                    qt, _ = _pos_diag(qt, rt)
+                    Qs[side][r] = jnp.conj(qt.T)
+                else:
+                    q, rr = jnp.linalg.qr(blk, mode="reduced")
+                    q, _ = _pos_diag(q, rr)
+                    Qs[side][r] = q
+
+        out = {}
+        for side in self.SIDES:
+            m = self.meta[side]
+            ri, ci = infos[side]
+            T = tensors[side]
+            bond = Space(T.group, {r: (Qs[side][r].shape[0] if m.right
+                                       else Qs[side][r].shape[1])
+                                   for r in Qs[side]})
+            if m.right:
+                out[side] = _right_factor(T, m.nrows, ci, Qs[side], bond)
+            else:
+                out[side] = _left_factor(T, m.nrows, ri, Qs[side], bond)
+        return out
+
     def apply(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor):
-        QAC = self.p_ac2.factor(AC)                    # (vl, p, b)
-        QCr = self.p_cr.factor(Cr)                     # (vr, b)
-        AL = tensordot(QAC, QCr.conj(), axes=([2], [1]))
-        QACr = self.p_ac1.factor(AC)                   # (b, p, vr)
-        QCl = self.p_cl.factor(Cl)                     # (b, vl)
-        AR = tensordot(QCl.conj(), QACr, axes=([0], [0]))
+        F = self._factors({"ac2": AC, "cr": Cr, "ac1": AC, "cl": Cl})
+        AL = tensordot(F["ac2"], F["cr"].conj(), axes=([2], [1]))
+        AR = tensordot(F["cl"].conj(), F["ac1"], axes=([0], [0]))
         dl = (AC - absorb_bond_right(AL, Cr)).norm()
         dr = (AC - absorb_bond_left(Cl, AR)).norm()
         return AL, AR, dl, dr

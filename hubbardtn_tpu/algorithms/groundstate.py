@@ -69,6 +69,12 @@ def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
         psi = expand_bonds(res.psi, H, res.envs,
                            Truncation(rel_cutoff=1e-8, max_dim=grow))
         res = None  # environments/jit structures are stale after expansion
+        # the bond structure changed: compiled programs for the old block
+        # tables are dead weight, and letting them accumulate across many
+        # expansion rounds exhausts process memory (LLVM OOM observed on
+        # XLA CPU after ~5 rounds at bond ~100)
+        import jax
+        jax.clear_caches()
     return psi
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,6 +119,9 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
                 if sum(psi_e.bond_dims()) > prev_dims * 1.02:
                     psi, adapted = psi_e, True
             if adapted:
+                # drop compiled programs for the stale block structure
+                # (accumulating them across adaptations OOMs XLA CPU)
+                jax.clear_caches()
                 envs = Environments(psi, H, tol=1e-12)
                 prev_dims = sum(psi.bond_dims())
         new_energy = float(jnp.real(envs.energy_per_site))

@@ -257,6 +257,16 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         from ..mpo.channel_pack import PackedMPO
         pm = PackedMPO(H)
         bsites = [_BatchedSite(H, pm, x, psi) for x in range(T)]
+    # SU(2): stack equal-charge channels onto one channel leg so each inner
+    # matvec is three fusion-tree contractions over multiplicity-carrying
+    # blocks instead of a per-transition loop (mpo/su2_pack.py)
+    use_su2_packed = (
+        not use_batched
+        and _os.environ.get("HTN_NO_SU2_PACK", "") != "1"
+        and all(op.ndim == 4 for W in H.Ws for op in W.values()))
+    if use_su2_packed:
+        from ..mpo.su2_pack import PackedMPOSU2
+        pm2 = PackedMPOSU2(H)
     # polar (matmul-only) gauge on f32 — the TPU deployment dtype; QR keeps
     # exact isometries for the f64 convergence runs (HTN_GAUGE overrides)
     gauge_mode = _os.environ.get("HTN_GAUGE", "auto")
@@ -294,6 +304,12 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                     krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
                 Cs_new.append(plan_c.unpack_vec(v_c, C0))
                 continue
+
+            if use_su2_packed:
+                GLx = {0: pm2.pack_env_left(GLx, x)}
+                GRx = {0: pm2.pack_env_right(GRx, (x + 1) % T)}
+                GLx1 = {0: pm2.pack_env_left(GLx1, (x + 1) % T)}
+                Wx = {(0, 0): pm2.Ws[x]}
 
             _, v_ac, _ = lanczos_ground_plan(
                 _DictHACPlan(pk_ac), (GLx, Wx, GRx), pk_ac.pack(psi.AC(x)),

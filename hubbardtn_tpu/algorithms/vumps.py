@@ -170,6 +170,34 @@ class _DictHCPlan:
         return isinstance(other, _DictHCPlan) and self.packer == other.packer
 
 
+class _BatchedSiteSU2:
+    """SU(2) counterpart of :class:`_BatchedSite`: channel-stacks the env
+    dicts (mpo/su2_pack.py) and runs the bucketed batched fusion matvecs of
+    algorithms/batched_fusion.py inside the Lanczos loops."""
+
+    def __init__(self, H, pm2, x: int, psi):
+        self.pm2, self.x, self.T = pm2, x, psi.T
+        self.plan_ac = None
+        self.plan_c = None
+        self._struct = None
+
+    def ensure(self, GLx, GRx, GLx1, AC, C):
+        from .batched_fusion import PaddedHACSU2, PaddedHCSU2
+        pm2, x, T = self.pm2, self.x, self.T
+        GL3 = pm2.pack_env_left(GLx, x)
+        GR3 = pm2.pack_env_right(GRx, (x + 1) % T)
+        GL13 = pm2.pack_env_left(GLx1, (x + 1) % T)
+        if self.plan_ac is None or self._struct != (
+                GL3.structure(), GR3.structure(), AC.structure(),
+                C.structure()):
+            self.plan_ac = PaddedHACSU2(GL3, pm2.Ws[x], GR3, AC)
+            self.plan_c = PaddedHCSU2(GL13, GR3, C)
+            self._struct = (GL3.structure(), GR3.structure(),
+                            AC.structure(), C.structure())
+        return (self.plan_ac.pack_gl(GL3), self.plan_ac.pack_gr(GR3),
+                self.plan_c.pack_gl(GL13), self.plan_c.pack_gr(GR3))
+
+
 class _BatchedSite:
     """Per-site bucketed solvers (built once per block structure): packs the
     channel dicts into stacked class arrays and runs the batched matvecs of
@@ -257,9 +285,10 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         from ..mpo.channel_pack import PackedMPO
         pm = PackedMPO(H)
         bsites = [_BatchedSite(H, pm, x, psi) for x in range(T)]
-    # SU(2): stack equal-charge channels onto one channel leg so each inner
-    # matvec is three fusion-tree contractions over multiplicity-carrying
-    # blocks instead of a per-transition loop (mpo/su2_pack.py)
+    # SU(2): stack equal-charge channels onto one channel leg
+    # (mpo/su2_pack.py) and run the inner solves through bucketed batched
+    # fusion contractions (algorithms/batched_fusion.py) — a few dozen
+    # large batched GEMMs per matvec instead of a per-transition loop
     use_su2_packed = (
         not use_batched
         and _os.environ.get("HTN_NO_SU2_PACK", "") != "1"
@@ -267,6 +296,7 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
     if use_su2_packed:
         from ..mpo.su2_pack import PackedMPOSU2
         pm2 = PackedMPOSU2(H)
+        bsites2 = [_BatchedSiteSU2(H, pm2, x, psi) for x in range(T)]
     # polar (matmul-only) gauge on f32 — the TPU deployment dtype; QR keeps
     # exact isometries for the f64 convergence runs (HTN_GAUGE overrides)
     gauge_mode = _os.environ.get("HTN_GAUGE", "auto")
@@ -306,10 +336,18 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                 continue
 
             if use_su2_packed:
-                GLx = {0: pm2.pack_env_left(GLx, x)}
-                GRx = {0: pm2.pack_env_right(GRx, (x + 1) % T)}
-                GLx1 = {0: pm2.pack_env_left(GLx1, (x + 1) % T)}
-                Wx = {(0, 0): pm2.Ws[x]}
+                bs = bsites2[x]
+                GLp, GRp, GL1p, GR1p = bs.ensure(GLx, GRx, GLx1, AC0, C0)
+                plan_ac, plan_c = bs.plan_ac, bs.plan_c
+                _, v_ac, _ = lanczos_ground_plan(
+                    plan_ac, (GLp, GRp), plan_ac.pack_vec(AC0),
+                    krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
+                ACs_new.append(plan_ac.unpack_vec(v_ac, AC0))
+                _, v_c, _ = lanczos_ground_plan(
+                    plan_c, (GL1p, GR1p), plan_c.pack_vec(C0),
+                    krylov_dim=krylov_dim, tol=inner_tol, max_restarts=20)
+                Cs_new.append(plan_c.unpack_vec(v_c, C0))
+                continue
 
             _, v_ac, _ = lanczos_ground_plan(
                 _DictHACPlan(pk_ac), (GLx, Wx, GRx), pk_ac.pack(psi.AC(x)),

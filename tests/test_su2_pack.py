@@ -1,9 +1,8 @@
 """SU(2) channel stacking: packed matvec == per-transition dict path."""
 
 import numpy as np
-import pytest
 
-from hubbardtn_tpu.algorithms.vumps import apply_H_AC, apply_H_C, vumps
+from hubbardtn_tpu.algorithms.vumps import apply_H_AC, apply_H_C
 from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
 from hubbardtn_tpu.mpo.su2_pack import PackedMPOSU2
 from hubbardtn_tpu.mps.imps import initialize_mps
@@ -59,16 +58,5 @@ def test_su2_packed_hc_matches():
                                np.asarray(pk.pack(ref)), atol=1e-12)
 
 
-@pytest.mark.slow
-def test_su2_vumps_packed_equals_dict(monkeypatch):
-    """Full SU(2) VUMPS trajectories agree between the channel-stacked and
-    per-transition paths."""
-    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True)
-    H = hamiltonian(sim)
-    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=4,
-                         seed=2)
-    monkeypatch.setenv("HTN_NO_SU2_PACK", "1")
-    e_dict = vumps(psi, H, tol=1e-10, maxiter=3).energy
-    monkeypatch.delenv("HTN_NO_SU2_PACK")
-    e_packed = vumps(psi, H, tol=1e-10, maxiter=3).energy
-    assert abs(e_dict - e_packed) < 1e-9
+# (trajectory-level equality of the packed vs dict VUMPS paths lives in
+# tests/test_batched_fusion.py, which exercises the full bucketed kernels)

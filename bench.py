@@ -298,6 +298,95 @@ class SweepBench:
         return run, flops
 
 
+class SU2Bench:
+    """SU(2) backend (the reference's DEFAULT symmetry): bucketed batched
+    fusion-tree H_AC (algorithms/batched_fusion.py over mpo/su2_pack.py) at
+    a chi~2048-class dense bond dimension.  Times the bare matvec and one
+    fully-jitted 16-step Lanczos restart."""
+
+    def __init__(self, sector_cap: int, dtype=jnp.float32):
+        from hubbardtn_tpu.algorithms.batched_fusion import (PaddedHACSU2,
+                                                             PaddedHCSU2)
+        from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
+        from hubbardtn_tpu.mpo.su2_pack import PackedMPOSU2
+        from hubbardtn_tpu.mps.imps import virtual_spaces
+        from hubbardtn_tpu.ops.sites_su2 import channel_space
+        from hubbardtn_tpu.tensor.fusion import FusionTensor
+        from hubbardtn_tpu.tensor.symtensor import IN, OUT
+
+        sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True)
+        H = hamiltonian(sim)
+        g = H.site.group
+        P = H.site.space
+        T = sim.T
+        self.dtype = dtype
+        Vs = virtual_spaces(g, P, T, sector_cap, cells=3)
+        qd = g.su2_slot
+        self.chi_dense = max(sum(d * (q[qd] + 1) for q, d in V) for V in Vs)
+
+        self.AC = _random_host(FusionTensor, g, (Vs[1], P, Vs[0]),
+                               (IN, OUT, OUT), dtype=dtype, seed=1)
+        self.C = _random_host(FusionTensor, g, (Vs[0], Vs[0]), (IN, OUT),
+                              dtype=dtype, seed=2)
+        pm = PackedMPOSU2(H)
+        for W4 in pm.Ws:
+            for k in list(W4.blocks):
+                W4.blocks[k] = jnp.asarray(np.asarray(W4.blocks[k]),
+                                           dtype=dtype)
+        GLd = {a: _random_host(FusionTensor, g,
+                               (Vs[1], Vs[1], channel_space(g, qa)),
+                               (IN, OUT, IN), dtype=dtype, seed=10 + a)
+               for a, qa in enumerate(H.charges[0])}
+        GRd = {b: _random_host(FusionTensor, g,
+                               (Vs[0], Vs[0], channel_space(g, qb)),
+                               (IN, OUT, OUT), dtype=dtype, seed=50 + b)
+               for b, qb in enumerate(H.charges[1 % T])}
+        GL3 = pm.pack_env_left(GLd, 0)
+        GR3 = pm.pack_env_right(GRd, 1 % T)
+        self.plan = PaddedHACSU2(GL3, pm.Ws[0], GR3, self.AC)
+        self.plan_c = PaddedHCSU2(pm.pack_env_left(GLd, 1 % T), GR3, self.C)
+        self.v = self.plan.pack_vec(self.AC)
+        self.vc = self.plan_c.pack_vec(self.C)
+        self.GLp = self.plan.pack_gl(GL3)
+        self.GRp = self.plan.pack_gr(GR3)
+        self.GL1p = self.plan_c.pack_gl(pm.pack_env_left(GLd, 1 % T))
+        self.GR1p = self.plan_c.pack_gr(GR3)
+
+    def to_device(self, dev):
+        (self.v, self.vc, self.GLp, self.GRp, self.GL1p,
+         self.GR1p) = jax.device_put(
+            (self.v, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p), dev)
+
+    def run(self, reps=20):
+        from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
+        mv = jax.jit(self.plan.matvec)
+        v = mv(self.v, self.GLp, self.GRp)
+        jax.block_until_ready(v)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            v = mv(v, self.GLp, self.GRp)
+        jax.block_until_ready(v)
+        mv_ms = (time.perf_counter() - t0) / reps * 1e3
+        mv_fl = _flops_of(mv.lower(v, self.GLp, self.GRp))
+
+        out = _lanczos_restart_plan(self.v, (self.GLp, self.GRp),
+                                    plan=self.plan, k=16)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            out = _lanczos_restart_plan(self.v, (self.GLp, self.GRp),
+                                        plan=self.plan, k=16)
+        jax.block_until_ready(out)
+        lz_ms = (time.perf_counter() - t0) / 4 * 1e3
+        return {
+            "su2_chi_dense": self.chi_dense,
+            "su2_h_ac_matvec_ms": round(mv_ms, 3),
+            "su2_h_ac_matvec_tflops": round(
+                mv_fl / (mv_ms * 1e-3) / 1e12, 3) if mv_ms else 0,
+            "su2_lanczos16_ms": round(lz_ms, 2),
+        }
+
+
 def _time_stage(run, reps=4, groups=4):
     """Min over timing groups: robust to host contention / tunnel jitter."""
     out = run()  # compile + warm
@@ -370,6 +459,18 @@ def main():
                 total_ms += ms
                 total_flops += fl
             mv_ms, mv_fl = matvec_bench(bench, dev)
+            su2_stats = {}
+            for su2_cap in (32, 24, 16):
+                try:
+                    with jax.default_device(cpu):
+                        sb = SU2Bench(su2_cap)
+                    sb.to_device(dev)
+                    su2_stats = sb.run()
+                    print(f"# su2 cap {su2_cap}: {su2_stats}",
+                          file=sys.stderr)
+                    break
+                except Exception as e:
+                    print(f"# su2 cap {su2_cap} failed: {e}", file=sys.stderr)
             tflops = total_flops / (total_ms * 1e-3) / 1e12 if total_ms else 0
             print(json.dumps({
                 "metric": f"vumps_iteration_ms_chi{chi}",
@@ -381,6 +482,7 @@ def main():
                 "h_ac_matvec_ms": round(mv_ms, 3),
                 "h_ac_matvec_tflops": round(
                     mv_fl / (mv_ms * 1e-3) / 1e12, 3) if mv_ms else 0,
+                **su2_stats,
             }))
             return
         except Exception as e:  # TPU tunnel flakiness: retry smaller

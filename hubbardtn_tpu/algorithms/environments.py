@@ -266,10 +266,16 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
                       gl_final0: Optional[SymTensor] = None
                       ) -> Tuple[List[Dict[int, SymTensor]], jnp.ndarray]:
     """Left environments GLs[x] (bond left of site x) and energy/unit cell."""
+    import os
     T = psi.T
     assert H.T == T
     dtype = psi.ALs[0].dtype
     g = psi.group
+    if (getattr(g, "has_su2", False)
+            and os.environ.get("HTN_NO_SU2_ENV_PACK", "") != "1"
+            and all(op.ndim == 4 for W in H.Ws for op in W.values())):
+        from .batched_env_su2 import SU2EnvEngine
+        return SU2EnvEngine.get(psi, H).left(psi, H, tol, gl_final0)
     I0 = bond_identity(g, psi.ALs[0].spaces[0], dtype=dtype)
     su2 = getattr(g, "has_su2", False)
     if su2:
@@ -323,9 +329,15 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
                        gr_init0: Optional[SymTensor] = None
                        ) -> Tuple[List[Dict[int, SymTensor]], jnp.ndarray]:
     """Right environments GRs[x] (bond right of site x) and energy/unit cell."""
+    import os
     T = psi.T
     dtype = psi.ARs[0].dtype
     g = psi.group
+    if (getattr(g, "has_su2", False)
+            and os.environ.get("HTN_NO_SU2_ENV_PACK", "") != "1"
+            and all(op.ndim == 4 for W in H.Ws for op in W.values())):
+        from .batched_env_su2 import SU2EnvEngine
+        return SU2EnvEngine.get(psi, H).right(psi, H, tol, gr_init0)
     I0 = bond_identity(g, psi.ARs[T - 1].spaces[2], dtype=dtype)
     su2 = getattr(g, "has_su2", False)
     if su2:

@@ -299,91 +299,180 @@ class SweepBench:
 
 
 class SU2Bench:
-    """SU(2) backend (the reference's DEFAULT symmetry): bucketed batched
-    fusion-tree H_AC (algorithms/batched_fusion.py over mpo/su2_pack.py) at
-    a chi~2048-class dense bond dimension.  Times the bare matvec and one
-    fully-jitted 16-step Lanczos restart."""
+    """SU(2) backend (the reference's DEFAULT symmetry): a full VUMPS
+    iteration at a chi~2048-class *dense* bond dimension, every stage on
+    the bucketed batched fusion kernels:
+
+    * inner eigensolves: fully-jitted 16-step Lanczos restarts on
+      PaddedHACSU2 / PaddedHCSU2 (algorithms/batched_fusion.py);
+    * gauge: bucketed Newton-Schulz polar recovery (works on fusion-tree
+      block tables through the shared matricize dispatch);
+    * environment refresh: SU2EnvEngine presweeps + one 30-step GMRES
+      restart per geometric sum + interior fills + dict unpack
+      (algorithms/batched_env_su2.py), three jitted programs per side."""
 
     def __init__(self, sector_cap: int, dtype=jnp.float32):
+        import types
+
+        from hubbardtn_tpu.algorithms.batched_env_su2 import SU2EnvEngine
         from hubbardtn_tpu.algorithms.batched_fusion import (PaddedHACSU2,
                                                              PaddedHCSU2)
+        from hubbardtn_tpu.algorithms.environments import (rho_left,
+                                                           rho_right)
         from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
         from hubbardtn_tpu.mpo.su2_pack import PackedMPOSU2
         from hubbardtn_tpu.mps.imps import virtual_spaces
         from hubbardtn_tpu.ops.sites_su2 import channel_space
-        from hubbardtn_tpu.tensor.fusion import FusionTensor
+        from hubbardtn_tpu.tensor.fusion import (FusionTensor,
+                                                 append_trivial_leg)
         from hubbardtn_tpu.tensor.symtensor import IN, OUT
 
         sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True)
         H = hamiltonian(sim)
         g = H.site.group
         P = H.site.space
-        T = sim.T
+        self.T = T = sim.T
         self.dtype = dtype
         Vs = virtual_spaces(g, P, T, sector_cap, cells=3)
         qd = g.su2_slot
         self.chi_dense = max(sum(d * (q[qd] + 1) for q, d in V) for V in Vs)
 
-        self.AC = _random_host(FusionTensor, g, (Vs[1], P, Vs[0]),
-                               (IN, OUT, OUT), dtype=dtype, seed=1)
-        self.C = _random_host(FusionTensor, g, (Vs[0], Vs[0]), (IN, OUT),
-                              dtype=dtype, seed=2)
+        self.ALs = [_random_host(FusionTensor, g, (Vs[x - 1], P, Vs[x]),
+                                 (IN, OUT, OUT), dtype=dtype, seed=x)
+                    for x in range(T)]
+        self.ARs = [_random_host(FusionTensor, g, (Vs[x - 1], P, Vs[x]),
+                                 (IN, OUT, OUT), dtype=dtype, seed=10 + x)
+                    for x in range(T)]
+        self.Cs = [_random_host(FusionTensor, g, (Vs[x], Vs[x]), (IN, OUT),
+                                dtype=dtype, seed=20 + x) for x in range(T)]
+        self.ACs = [_random_host(FusionTensor, g, (Vs[x - 1], P, Vs[x]),
+                                 (IN, OUT, OUT), dtype=dtype, seed=30 + x)
+                    for x in range(T)]
+
         pm = PackedMPOSU2(H)
+        self.pm = pm
         for W4 in pm.Ws:
             for k in list(W4.blocks):
                 W4.blocks[k] = jnp.asarray(np.asarray(W4.blocks[k]),
                                            dtype=dtype)
-        GLd = {a: _random_host(FusionTensor, g,
-                               (Vs[1], Vs[1], channel_space(g, qa)),
-                               (IN, OUT, IN), dtype=dtype, seed=10 + a)
-               for a, qa in enumerate(H.charges[0])}
-        GRd = {b: _random_host(FusionTensor, g,
-                               (Vs[0], Vs[0], channel_space(g, qb)),
-                               (IN, OUT, OUT), dtype=dtype, seed=50 + b)
-               for b, qb in enumerate(H.charges[1 % T])}
-        GL3 = pm.pack_env_left(GLd, 0)
-        GR3 = pm.pack_env_right(GRd, 1 % T)
-        self.plan = PaddedHACSU2(GL3, pm.Ws[0], GR3, self.AC)
-        self.plan_c = PaddedHCSU2(pm.pack_env_left(GLd, 1 % T), GR3, self.C)
-        self.v = self.plan.pack_vec(self.AC)
-        self.vc = self.plan_c.pack_vec(self.C)
-        self.GLp = self.plan.pack_gl(GL3)
-        self.GRp = self.plan.pack_gr(GR3)
-        self.GL1p = self.plan_c.pack_gl(pm.pack_env_left(GLd, 1 % T))
-        self.GR1p = self.plan_c.pack_gr(GR3)
+        self.GLd = [{a: _random_host(
+            FusionTensor, g, (Vs[x - 1], Vs[x - 1], channel_space(g, qa)),
+            (IN, OUT, IN), dtype=dtype, seed=40 + 17 * x + a)
+            for a, qa in enumerate(H.charges[x])} for x in range(T)]
+        self.GRd = [{b: _random_host(
+            FusionTensor, g, (Vs[x], Vs[x], channel_space(g, qb)),
+            (IN, OUT, OUT), dtype=dtype, seed=90 + 17 * x + b)
+            for b, qb in enumerate(H.charges[(x + 1) % T])}
+            for x in range(T)]
+
+        GL3 = [pm.pack_env_left(self.GLd[x], x) for x in range(T)]
+        GR3 = [pm.pack_env_right(self.GRd[x], (x + 1) % T) for x in range(T)]
+        self.plans_ac = [PaddedHACSU2(GL3[x], pm.Ws[x], GR3[x], self.ACs[x])
+                         for x in range(T)]
+        self.plans_c = [PaddedHCSU2(
+            pm.pack_env_left(self.GLd[(x + 1) % T], (x + 1) % T),
+            GR3[x], self.Cs[x]) for x in range(T)]
+        self.vac = [self.plans_ac[x].pack_vec(self.ACs[x]) for x in range(T)]
+        self.vc = [self.plans_c[x].pack_vec(self.Cs[x]) for x in range(T)]
+        self.GLp = [self.plans_ac[x].pack_gl(GL3[x]) for x in range(T)]
+        self.GRp = [self.plans_ac[x].pack_gr(GR3[x]) for x in range(T)]
+        self.GL1p = [self.plans_c[x].pack_gl(
+            pm.pack_env_left(self.GLd[(x + 1) % T], (x + 1) % T))
+            for x in range(T)]
+        self.GR1p = [self.plans_c[x].pack_gr(GR3[x]) for x in range(T)]
+
+        # env engine over a psi-shaped namespace (structure is all it needs)
+        psi_like = types.SimpleNamespace(T=T, group=g, ALs=self.ALs,
+                                         ARs=self.ARs, Cs=self.Cs)
+        self.eng = SU2EnvEngine(psi_like, H)
+        self.a_abL = [self.eng.tplL[x].pack_A(self.ALs[x]) for x in range(T)]
+        self.a_abR = [self.eng.tplR[x].pack_A(self.ARs[x]) for x in range(T)]
+        rho3 = append_trivial_leg(rho_right(self.Cs[T - 1]), OUT)
+        sig3 = append_trivial_leg(rho_left(self.Cs[T - 1]), IN)
+        self.rho_arrays = self.eng.pairL.pack_r(rho3)
+        self.sig_arrays = self.eng.pairR.pack_r(sig3)
 
     def to_device(self, dev):
-        (self.v, self.vc, self.GLp, self.GRp, self.GL1p,
-         self.GR1p) = jax.device_put(
-            (self.v, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p), dev)
+        (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
+         self.ACs, self.Cs, self.a_abL, self.a_abR, self.rho_arrays,
+         self.sig_arrays) = jax.device_put(
+            (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
+             self.ACs, self.Cs, self.a_abL, self.a_abR, self.rho_arrays,
+             self.sig_arrays), dev)
+
+    def stage_eigs(self):
+        from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
+        K = 16
+
+        def run():
+            outs = []
+            for x in range(self.T):
+                outs.append(_lanczos_restart_plan(
+                    self.vac[x], (self.GLp[x], self.GRp[x]),
+                    plan=self.plans_ac[x], k=K))
+                outs.append(_lanczos_restart_plan(
+                    self.vc[x], (self.GL1p[x], self.GR1p[x]),
+                    plan=self.plans_c[x], k=K))
+            return outs
+
+        return run
+
+    def stage_gauge(self):
+        # per-block QR on fusion trees (the SU(2) driver's gauge path;
+        # matricize cannot fuse SU(2) legs, so no polar plan here)
+        from hubbardtn_tpu.algorithms.vumps import _gauge_site
+
+        def run():
+            return [_gauge_site(self.ACs[x], self.Cs[(x - 1) % self.T],
+                                self.Cs[x])
+                    for x in range(self.T)]
+
+        return run
+
+    def stage_envs(self):
+        eng = self.eng
+
+        def run():
+            curL, rhsL, eL, trL = eng._sweep_left(self.a_abL,
+                                                  self.rho_arrays)
+            yL, _ = eng._gmresL(jnp.zeros_like(rhsL), rhsL, self.a_abL,
+                                self.rho_arrays, trL)
+            GLs = eng._finalize_left(curL, yL, self.a_abL)
+            curR, rhsR, eR, trR = eng._sweep_right(self.a_abR,
+                                                   self.sig_arrays)
+            yR, _ = eng._gmresR(jnp.zeros_like(rhsR), rhsR, self.a_abR,
+                                self.sig_arrays, trR)
+            GRs = eng._finalize_right(curR, yR, self.a_abR)
+            return GLs, GRs, eL + eR
+
+        return run
 
     def run(self, reps=20):
-        from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
-        mv = jax.jit(self.plan.matvec)
-        v = mv(self.v, self.GLp, self.GRp)
+        mv = jax.jit(self.plans_ac[0].matvec)
+        v = mv(self.vac[0], self.GLp[0], self.GRp[0])
         jax.block_until_ready(v)
         t0 = time.perf_counter()
         for _ in range(reps):
-            v = mv(v, self.GLp, self.GRp)
+            v = mv(v, self.GLp[0], self.GRp[0])
         jax.block_until_ready(v)
         mv_ms = (time.perf_counter() - t0) / reps * 1e3
-        mv_fl = _flops_of(mv.lower(v, self.GLp, self.GRp))
+        mv_fl = _flops_of(mv.lower(v, self.GLp[0], self.GRp[0]))
 
-        out = _lanczos_restart_plan(self.v, (self.GLp, self.GRp),
-                                    plan=self.plan, k=16)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(4):
-            out = _lanczos_restart_plan(self.v, (self.GLp, self.GRp),
-                                        plan=self.plan, k=16)
-        jax.block_until_ready(out)
-        lz_ms = (time.perf_counter() - t0) / 4 * 1e3
+        stages = {"eigs": self.stage_eigs(), "gauge": self.stage_gauge(),
+                  "envs": self.stage_envs()}
+        breakdown = {}
+        total = 0.0
+        for name, run in stages.items():
+            ms = _time_stage(run)
+            breakdown[name] = round(ms, 2)
+            total += ms
         return {
             "su2_chi_dense": self.chi_dense,
+            "su2_iteration_ms": round(total, 2),
+            "su2_breakdown_ms": breakdown,
             "su2_h_ac_matvec_ms": round(mv_ms, 3),
             "su2_h_ac_matvec_tflops": round(
                 mv_fl / (mv_ms * 1e-3) / 1e12, 3) if mv_ms else 0,
-            "su2_lanczos16_ms": round(lz_ms, 2),
         }
 
 

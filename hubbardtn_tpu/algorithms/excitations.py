@@ -383,46 +383,39 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
 
 
 def _lanczos_lowest_k(mv, v0, num, krylov_dim, tol, max_restarts=40):
-    """num lowest Ritz pairs via restarted Lanczos targeting the lowest."""
-    n = v0.shape[0]
-    v = v0 / jnp.linalg.norm(v0)
-    for _ in range(max_restarts):
-        V = jnp.zeros((krylov_dim + 1, n), dtype=v.dtype).at[0].set(v)
-        a_d, b_d = [], []
-        for j in range(krylov_dim):
-            w = mv(V[j])
-            a_d.append(jnp.vdot(V[j], w).real)
-            c1 = jnp.conj(V) @ w
-            w = w - V.T @ c1
-            c2 = jnp.conj(V) @ w
-            w = w - V.T @ c2
-            b = jnp.linalg.norm(w)
-            b_d.append(b)
-            if j < krylov_dim - 1:
-                V = V.at[j + 1].set(jnp.where(b > 1e-300, w / b, 0.0))
-        alphas = np.array([np.asarray(a) for a in a_d])
-        betas = np.array([np.asarray(b) for b in b_d])
-        k = krylov_dim
-        for j in range(krylov_dim - 1):
-            if betas[j] < 1e-14:
-                k = j + 1
-                break
-        Tm = np.diag(alphas[:k])
-        for j in range(k - 1):
-            Tm[j, j + 1] = Tm[j + 1, j] = betas[j]
-        evals, evecs = np.linalg.eigh(Tm)
-        resid = abs(betas[k - 1] * evecs[k - 1, 0])
-        c = jnp.zeros((krylov_dim + 1,), dtype=v.dtype).at[:k].set(
-            jnp.asarray(evecs[:, 0]))
-        v = V.T @ c
+    """num lowest eigenpairs by deflated restarted Lanczos: each state is
+    converged by its own restarted solve on the operator projected onto the
+    orthogonal complement of the previously converged states (P H P), so
+    every returned pair carries its own residual control — unlike secondary
+    Ritz pairs of a single lowest-targeted restart.  Hermitian counterpart
+    of the reference's eager Arnoldi extraction
+    (/root/reference/src/HubbardFunctions.jl:1176 with nums > 1)."""
+    from ..solvers.krylov import lanczos_ground
+
+    ws: list = []
+    vs: list = []
+    rng = np.random.default_rng(7)
+    for m in range(num):
+        basis = list(vs)
+
+        def project(x):
+            for vi in basis:
+                x = x - vi * jnp.vdot(vi, x)
+            return x
+
+        def mv_defl(x):
+            return project(mv(project(x)))
+
+        v_start = project(v0 if m == 0 else jnp.asarray(
+            rng.standard_normal(v0.shape[0])
+            + 1j * rng.standard_normal(v0.shape[0])))
+        nrm = jnp.linalg.norm(v_start)
+        v_start = v_start / jnp.where(nrm > 0, nrm, 1.0)
+        w, v, _info = lanczos_ground(mv_defl, v_start,
+                                     krylov_dim=krylov_dim, tol=tol,
+                                     max_restarts=max_restarts)
+        v = project(v)
         v = v / jnp.linalg.norm(v)
-        if resid < tol:
-            ws = evals[:num]
-            vs = []
-            for m in range(min(num, k)):
-                cm = jnp.zeros((krylov_dim + 1,), dtype=v.dtype).at[:k].set(
-                    jnp.asarray(evecs[:, m]))
-                vm = V.T @ cm
-                vs.append(vm / jnp.linalg.norm(vm))
-            return ws, vs
-    return evals[:num], [v]
+        ws.append(float(np.asarray(w)))
+        vs.append(v)
+    return np.asarray(ws), vs

@@ -298,11 +298,15 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         pm2 = PackedMPOSU2(H)
         bsites2 = [_BatchedSiteSU2(H, pm2, x, psi) for x in range(T)]
     # polar (matmul-only) gauge on f32 — the TPU deployment dtype; QR keeps
-    # exact isometries for the f64 convergence runs (HTN_GAUGE overrides)
+    # exact isometries for the f64 convergence runs (HTN_GAUGE overrides).
+    # Abelian only: matricize cannot fuse SU(2) legs (ambiguous outcomes),
+    # so the fusion backend always takes the per-block QR path.
     gauge_mode = _os.environ.get("HTN_GAUGE", "auto")
-    use_polar = gauge_mode == "polar" or (
-        gauge_mode == "auto"
-        and jnp.dtype(psi.ALs[0].dtype) == jnp.dtype(jnp.float32))
+    is_su2 = getattr(psi.group, "has_su2", False)
+    use_polar = not is_su2 and (
+        gauge_mode == "polar" or (
+            gauge_mode == "auto"
+            and jnp.dtype(psi.ALs[0].dtype) == jnp.dtype(jnp.float32)))
     gauge_plans: Dict[int, tuple] = {}
     for it in range(maxiter):
         # dynamic inner tolerance: eigenproblems a bit tighter than the error

@@ -46,6 +46,21 @@ def test_hole_dispersion_T2_exact():
                                -2 * np.abs(np.cos(ks / 2)) - 4.0, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_hole_dispersion_T2_num2_both_branches_exact():
+    """num=2 must converge BOTH folded hole branches +-2t|cos(k/2)| - u:
+    regression for the deflated multi-state extraction (the reference runs
+    eager Arnoldi with nums > 1, test/OB.jl excitation calls)."""
+    sim, H, res = _solve(4, 2)
+    ks = np.array([0.7, 2.0])
+    Es, Xs = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -2),
+                         num=2, tol=1e-8)
+    expected = np.stack([-2 * np.abs(np.cos(ks / 2)) - 4.0,
+                         +2 * np.abs(np.cos(ks / 2)) - 4.0], axis=1)
+    np.testing.assert_allclose(np.real(Es), expected, atol=1e-6)
+    np.testing.assert_allclose(np.imag(Es), 0.0, atol=1e-8)
+
+
 GOLDEN_DISPERSION_U5 = [-0.17257389, -0.2673373, -0.5489149, -1.04588404,
                         -1.425526126]
 

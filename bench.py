@@ -418,31 +418,31 @@ class SU2Bench:
         return run
 
     def stage_gauge(self):
-        # per-block QR on fusion trees (the SU(2) driver's gauge path;
-        # matricize cannot fuse SU(2) legs, so no polar plan here)
-        from hubbardtn_tpu.algorithms.vumps import _gauge_site
+        # bucketed Newton-Schulz polar on fusion matricizations (the SU(2)
+        # f32 driver's gauge path, algorithms/batched_gauge_su2.py)
+        from hubbardtn_tpu.algorithms.batched_gauge_su2 import (
+            PolarGaugePlanSU2, gauge_site_polar_su2)
+        plans = [PolarGaugePlanSU2(self.ACs[x], self.Cs[(x - 1) % self.T],
+                                   self.Cs[x]) for x in range(self.T)]
 
         def run():
-            return [_gauge_site(self.ACs[x], self.Cs[(x - 1) % self.T],
-                                self.Cs[x])
+            return [gauge_site_polar_su2(self.ACs[x],
+                                         self.Cs[(x - 1) % self.T],
+                                         self.Cs[x], plan=plans[x])
                     for x in range(self.T)]
 
         return run
 
     def stage_envs(self):
         eng = self.eng
+        x0L = jnp.zeros((eng.xlayL[0].total,), dtype=self.dtype)
+        x0R = jnp.zeros((eng.xlayR[self.T - 1].total,), dtype=self.dtype)
 
         def run():
-            curL, rhsL, eL, trL = eng._sweep_left(self.a_abL,
-                                                  self.rho_arrays)
-            yL, _ = eng._gmresL(jnp.zeros_like(rhsL), rhsL, self.a_abL,
-                                self.rho_arrays, trL)
-            GLs = eng._finalize_left(curL, yL, self.a_abL)
-            curR, rhsR, eR, trR = eng._sweep_right(self.a_abR,
-                                                   self.sig_arrays)
-            yR, _ = eng._gmresR(jnp.zeros_like(rhsR), rhsR, self.a_abR,
-                                self.sig_arrays, trR)
-            GRs = eng._finalize_right(curR, yR, self.a_abR)
+            GLs, eL, *_ = eng._refresh_left(self.a_abL, self.rho_arrays,
+                                            x0L)
+            GRs, eR, *_ = eng._refresh_right(self.a_abR, self.sig_arrays,
+                                             x0R)
             return GLs, GRs, eL + eR
 
         return run

@@ -299,11 +299,10 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         bsites2 = [_BatchedSiteSU2(H, pm2, x, psi) for x in range(T)]
     # polar (matmul-only) gauge on f32 — the TPU deployment dtype; QR keeps
     # exact isometries for the f64 convergence runs (HTN_GAUGE overrides).
-    # Abelian only: matricize cannot fuse SU(2) legs (ambiguous outcomes),
-    # so the fusion backend always takes the per-block QR path.
+    # Each backend has its own bucketed plan (batched_gauge / _su2).
     gauge_mode = _os.environ.get("HTN_GAUGE", "auto")
     is_su2 = getattr(psi.group, "has_su2", False)
-    use_polar = not is_su2 and (
+    use_polar = (
         gauge_mode == "polar" or (
             gauge_mode == "auto"
             and jnp.dtype(psi.ALs[0].dtype) == jnp.dtype(jnp.float32)))
@@ -369,12 +368,19 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
             if use_polar:
                 key = (ACs_new[x].structure(), Cs_new[(x - 1) % T].structure(),
                        Cs_new[x].structure())
+                if is_su2:
+                    from .batched_gauge_su2 import (PolarGaugePlanSU2,
+                                                    gauge_site_polar_su2)
+                    mk_plan, run_gauge = PolarGaugePlanSU2, \
+                        gauge_site_polar_su2
+                else:
+                    from .batched_gauge import (PolarGaugePlan,
+                                                gauge_site_polar)
+                    mk_plan, run_gauge = PolarGaugePlan, gauge_site_polar
                 if gauge_plans.get(x, (None, None))[0] != key:
-                    from .batched_gauge import PolarGaugePlan
-                    gauge_plans[x] = (key, PolarGaugePlan(
+                    gauge_plans[x] = (key, mk_plan(
                         ACs_new[x], Cs_new[(x - 1) % T], Cs_new[x]))
-                from .batched_gauge import gauge_site_polar
-                AL, AR, dl, dr = gauge_site_polar(
+                AL, AR, dl, dr = run_gauge(
                     ACs_new[x], Cs_new[(x - 1) % T], Cs_new[x],
                     plan=gauge_plans[x][1])
             else:

@@ -93,3 +93,47 @@ def test_sharded_env_transfer_matches(problem):
         for k, blk in ref[b].blocks.items():
             np.testing.assert_allclose(np.asarray(out[b].blocks[k]),
                                        np.asarray(blk), atol=1e-11)
+
+
+def test_sharded_su2_batched_matvec_matches():
+    """The SU(2) bucketed fusion H_AC with sharded stacks == unsharded:
+    the stack layout (class key -> (n, ...) array) is backend-agnostic, so
+    the same batch-axis/bucket-axis placement serves the fusion kernels."""
+    from hubbardtn_tpu.algorithms.batched_fusion import PaddedHACSU2
+    from hubbardtn_tpu.mpo.su2_pack import PackedMPOSU2
+    from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
+    from hubbardtn_tpu.mps.imps import initialize_mps
+    from hubbardtn_tpu.ops.sites_su2 import channel_space
+    from hubbardtn_tpu.solvers.krylov import full_blocks
+    from hubbardtn_tpu.tensor.fusion import FusionTensor
+    from hubbardtn_tpu.tensor.symtensor import IN, OUT
+
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=16,
+                         seed=1)
+    g = H.site.group
+    Vl, Vr = psi.ALs[0].spaces[0], psi.ALs[0].spaces[2]
+    GL = {a: FusionTensor.random(g, (Vl, Vl, channel_space(g, qa)),
+                                 (IN, OUT, IN), seed=a)
+          for a, qa in enumerate(H.charges[0])}
+    GR = {b: FusionTensor.random(g, (Vr, Vr, channel_space(g, qb)),
+                                 (IN, OUT, OUT), seed=50 + b)
+          for b, qb in enumerate(H.charges[1])}
+    AC = full_blocks(psi.AC(0))
+    pm = PackedMPOSU2(H)
+    GL3 = pm.pack_env_left(GL, 0)
+    GR3 = pm.pack_env_right(GR, 1)
+    plan = PaddedHACSU2(GL3, pm.Ws[0], GR3, AC)
+    vec = plan.pack_vec(AC)
+    GLp, GRp = plan.pack_gl(GL3), plan.pack_gr(GR3)
+    mv = jax.jit(plan.matvec)
+    ref = np.asarray(mv(vec, GLp, GRp))
+
+    mesh = make_mesh(8)
+    GLs = shard_stacks(mesh, GLp)
+    GRs = shard_stacks(mesh, GRp)
+    split, total = n_sharded_leaves((GLs, GRs))
+    assert split > 0, "no SU(2) stack leaf was sharded"
+    out = np.asarray(mv(vec, GLs, GRs))
+    np.testing.assert_allclose(out, ref, atol=1e-11)

@@ -132,6 +132,10 @@ def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
     return res
 
 
+from ..utils.profiling import profiled
+
+
+@profiled("groundstate")
 def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                         max_rounds: int = 8, max_bond: Optional[int] = None,
                         seed: int = 1, round_iters: int = 40,

@@ -261,6 +261,10 @@ class VUMPSResult:
     history: List[dict]
 
 
+from ..utils.profiling import profiled
+
+
+@profiled("vumps")
 def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
           maxiter: int = 200, krylov_dim: int = 16, verbosity: int = 0,
           envs: Environments = None) -> VUMPSResult:
@@ -307,7 +311,10 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
             gauge_mode == "auto"
             and jnp.dtype(psi.ALs[0].dtype) == jnp.dtype(jnp.float32)))
     gauge_plans: Dict[int, tuple] = {}
+    from ..utils.profiling import StageTimer, fmt_stage_ms
+    timer = StageTimer()
     for it in range(maxiter):
+        timer.reset()
         # dynamic inner tolerance: eigenproblems a bit tighter than the error
         inner_tol = max(min(1e-3, err * 1e-2), tol * 1e-2)
         # rebuild packers if a rank-deficient QR shrank any bond space
@@ -316,6 +323,7 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
             pk_cs = [Packer(full_blocks(psi.Cs[x])) for x in range(T)]
         ACs_new: List[SymTensor] = []
         Cs_new: List[SymTensor] = []
+        timer.mark("eigs")
         for x in range(T):
             GLx, Wx, GRx = envs.GLs[x], H.Ws[x], envs.GRs[x]
             GLx1 = envs.GLs[(x + 1) % T]
@@ -364,6 +372,7 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
 
         ALs_new, ARs_new = [], []
         err = 0.0
+        timer.mark("gauge")
         for x in range(T):
             if use_polar:
                 key = (ACs_new[x].structure(), Cs_new[(x - 1) % T].structure(),
@@ -391,12 +400,17 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
             err = max(err, float(dl), float(dr))
 
         psi = UniformMPS(ALs_new, ARs_new, Cs_new)
+        timer.mark("envs")
         envs = Environments(psi, H, tol=max(min(tol * 1e-2, err * 1e-3), 1e-14),
                             prev=envs)
         energy = float(jnp.real(envs.energy_per_site))
-        history.append({"iter": it, "energy": energy, "error": err})
+        timer.mark(None)
+        history.append({"iter": it, "energy": energy, "error": err,
+                        "stage_ms": timer.ms()})
         if verbosity >= 2:
-            print(f"[vumps] iter={it:3d}  e={energy:+.12f}  err={err:.3e}")
+            print(f"[vumps] iter={it:3d}  e={energy:+.12f}  err={err:.3e}"
+                  + (f"  [{fmt_stage_ms(timer.ms())}]"
+                     if verbosity >= 3 else ""))
         if err < tol:
             converged = True
             break

@@ -343,11 +343,20 @@ def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
 def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 momenta: Sequence[float], sector: Sector, num: int = 1,
                 krylov_dim: int = 30, tol: float = 1e-6, verbosity: int = 0,
-                psi_right: Optional[UniformMPS] = None) -> Tuple[np.ndarray, list]:
+                psi_right: Optional[UniformMPS] = None,
+                solver: str = "lanczos") -> Tuple[np.ndarray, list]:
     """Lowest ``num`` excitation energies at each momentum (phase per unit
     cell = e^{i k}).  Returns (Es[len(momenta), num], X parameter lists).
     Pass ``psi_right`` (e.g. a circshifted ground state) for topological /
-    domain-wall excitations."""
+    domain-wall excitations.
+
+    ``solver`` selects the eigensolver: "lanczos" (default; H_eff is
+    Hermitian) or "arnoldi" — the reference's choice
+    (``Arnoldi(krylovdim=30, tol=1e-6, eager=true)``,
+    /root/reference/src/HubbardFunctions.jl:1176), which makes no
+    Hermiticity assumption."""
+    if solver not in ("lanczos", "arnoldi"):
+        raise ValueError(f"unknown solver {solver!r}")
     prob = QuasiparticleProblem(psi, H, envs, sector, psi_right=psi_right)
     if prob.n_params == 0:
         raise ValueError(f"no excitation parameters in sector {sector}")
@@ -365,7 +374,18 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         rng = np.random.default_rng(42 + ik)
         v0 = jnp.asarray(rng.standard_normal(pk.total)
                          + 1j * rng.standard_normal(pk.total))
-        if num == 1:
+        if solver == "arnoldi":
+            from ..solvers.krylov import arnoldi_eig
+            ws, vs, info = arnoldi_eig(mv, v0, num=num,
+                                       krylov_dim=krylov_dim, tol=tol,
+                                       which="sr", max_restarts=40)
+            Es[ik, :] = np.asarray(ws) - prob.lam0
+            Xs_out.append(pk.unpack(vs[0]) if num == 1
+                          else [pk.unpack(v) for v in vs])
+            if verbosity >= 1:
+                print(f"[exc] k={k:.4f}  E={np.asarray(ws) - prob.lam0}"
+                      f"  resid={info['resid']:.2e} (arnoldi)")
+        elif num == 1:
             w, v, info = lanczos_ground(mv, v0, krylov_dim=krylov_dim,
                                         tol=tol, max_restarts=40)
             Es[ik, 0] = w - prob.lam0

@@ -399,3 +399,146 @@ def gmres(matvec: Callable[[jnp.ndarray], jnp.ndarray], b: jnp.ndarray,
         if res < tol:
             break
     return x, {"resid": float(res), "iters": iters}
+
+
+# ----------------------------------------------------------------------
+# Arnoldi: eigenpairs of a general (possibly non-Hermitian) operator
+# ----------------------------------------------------------------------
+
+def _arnoldi_factorization(mv, v, k: int):
+    """k-step Arnoldi factorization with full reorthogonalization.  The
+    recurrence is host-driven (like the generic :func:`lanczos_ground` /
+    :func:`gmres`) so ``mv`` may itself contain host-side control flow —
+    the excitation H_eff runs inner GMRES solves.  Returns
+    ``(V (k+1, n), H (k+1, k))`` with ``A V[:k].T = V.T H`` up to breakdown."""
+    n = v.shape[0]
+    v = v / jnp.linalg.norm(v)
+    V = jnp.zeros((k + 1, n), v.dtype).at[0].set(v)
+    H = jnp.zeros((k + 1, k), v.dtype)
+    for j in range(k):
+        w = mv(V[j])
+        h1 = jnp.conj(V) @ w
+        w = w - V.T @ h1
+        h2 = jnp.conj(V) @ w
+        w = w - V.T @ h2
+        hb = jnp.linalg.norm(w)
+        V = V.at[j + 1].set(jnp.where(hb > 1e-300,
+                                      w / jnp.maximum(hb, 1e-300), 0.0))
+        col = (h1 + h2).at[j + 1].set(hb.astype(V.dtype))
+        H = H.at[:, j].set(col)
+        if float(hb) < 1e-14:   # exact invariant subspace: stop early
+            break
+    return V, H
+
+
+_ARNOLDI_ORDER = {
+    "sr": lambda w: np.real(w),
+    "lr": lambda w: -np.real(w),
+    "sm": lambda w: np.abs(w),
+    "lm": lambda w: -np.abs(w),
+}
+
+
+def arnoldi_eig(matvec: Callable[[jnp.ndarray], jnp.ndarray],
+                v0: jnp.ndarray, num: int = 1, krylov_dim: int = 30,
+                tol: float = 1e-6, which: str = "sr",
+                max_restarts: int = 60) -> Tuple[np.ndarray, list, dict]:
+    """``num`` eigenpairs of a general operator by restarted Arnoldi with
+    Ritz-vector restarts; converged states are locked and deflated
+    (P A P over the orthogonal complement), so each returned pair carries
+    its own residual control.  ``which`` targets smallest/largest real part
+    ("sr"/"lr") or magnitude ("sm"/"lm").
+
+    TPU-native counterpart of the reference's excitation eigensolver
+    ``Arnoldi(krylovdim=30, tol=1e-6, eager=true)``
+    (/root/reference/src/HubbardFunctions.jl:1176): the host drives the
+    recurrence (the matvec may contain its own host-side solves, as the
+    excitation H_eff does), syncs on the small (k+1, k) Hessenberg, and
+    checks convergence after every restart as the eager flag does per
+    iteration.
+
+    Note eigenVALUES of defective/complex-pair spectra are returned as
+    found; for Hermitian operators this agrees with :func:`lanczos_ground`
+    (tested) at ~2x the memory (no three-term recurrence shortcut).
+    """
+    if which not in _ARNOLDI_ORDER:
+        raise ValueError(f"which must be one of {sorted(_ARNOLDI_ORDER)}")
+    key = _ARNOLDI_ORDER[which]
+    k = krylov_dim
+    rng = np.random.default_rng(11)
+    ws: list = []
+    vs: list = []
+    total_iters = 0
+    last_resid = np.inf
+    for m in range(num):
+        basis = list(vs)
+
+        def project(x):
+            for vi in basis:
+                x = x - vi * jnp.vdot(vi, x)
+            return x
+
+        def mv_defl(x):
+            return project(matvec(project(x)))
+
+        if m == 0:
+            v = v0
+        else:
+            vr = rng.standard_normal(v0.shape[0])
+            if jnp.iscomplexobj(v0):
+                vr = vr + 1j * rng.standard_normal(v0.shape[0])
+            v = jnp.asarray(vr, dtype=v0.dtype)
+        v = project(v)
+        v = v / jnp.linalg.norm(v)
+        w = None
+        for _ in range(max_restarts):
+            V, Hm = _arnoldi_factorization(mv_defl, v, k)
+            Hh = np.asarray(Hm)
+            # effective factorization length: stop at the first breakdown
+            # (an exact invariant subspace; later columns are garbage)
+            keff = k
+            for j in range(k - 1):
+                if abs(Hh[j + 1, j]) < 1e-14:
+                    keff = j + 1
+                    break
+            w_all, y_all = np.linalg.eig(Hh[:keff, :keff])
+            order = np.argsort(key(w_all))
+            w = w_all[order[0]]
+            y = y_all[:, order[0]]
+            y = y / np.linalg.norm(y)
+            last_resid = (abs(Hh[keff, keff - 1]) * abs(y[keff - 1])
+                          if keff < k + 1 else 0.0)
+            yfull = np.zeros(k + 1, dtype=np.complex128)
+            yfull[:keff] = y
+            if not jnp.iscomplexobj(v):
+                yfull = np.real(yfull)
+            v = V.T @ jnp.asarray(yfull, dtype=v.dtype)
+            v = project(v)
+            v = v / jnp.linalg.norm(v)
+            total_iters += keff
+            if last_resid < tol:
+                break
+        ws.append(complex(w))
+        vs.append(v)
+    if num > 1:
+        # Orthogonal deflation of a non-normal operator converges SCHUR
+        # vectors: A Q = Q T with T upper triangular (up to residual), so
+        # the locked q_m (m>0) need not be eigenvectors of A even though
+        # the eigenvalues are exact.  Transform: eigenvectors y of the
+        # small T = Q^H A Q give genuine eigenpairs (lambda, Q y).
+        Aq = [matvec(q) for q in vs]
+        T = np.zeros((num, num), dtype=np.complex128)
+        for i in range(num):
+            for j in range(num):
+                T[i, j] = complex(jnp.vdot(vs[i], Aq[j]))
+        w_all, Y = np.linalg.eig(T)
+        order = np.argsort(key(w_all))
+        ws = [complex(w_all[i]) for i in order]
+        vs_out = []
+        for idx in order:
+            y = Y[:, idx]
+            v = sum(vs[i] * complex(y[i]) for i in range(num))
+            vs_out.append(v / jnp.linalg.norm(v))
+        vs = vs_out
+    return np.asarray(ws), vs, {"resid": float(last_resid),
+                                "iters": total_iters}

@@ -97,10 +97,12 @@ def produce_excitations(sim, momenta, nums: int = 1, force: bool = False,
                         charges: Sequence[float] = (1, 0.5, 1),
                         trunc_dim: int = 0, trunc_scheme: int = 0,
                         solver_tol: float = 1e-6, krylov_dim: int = 30,
+                        solver: str = "lanczos",
                         datadir: Optional[str] = None, verbosity: int = 0,
                         **gs_kwargs) -> dict:
     """Cached quasiparticle dispersion (reference produce_excitations,
-    :1226-1269)."""
+    :1226-1269).  ``solver`` picks the eigensolver ("lanczos" default,
+    "arnoldi" = the reference's choice)."""
     momenta = np.atleast_1d(np.asarray(momenta, dtype=float))
     sector = _sector_from_charges(sim, charges)
     extra = {"momenta": momenta.tolist(), "nums": nums, "sector": sector,
@@ -116,7 +118,7 @@ def produce_excitations(sim, momenta, nums: int = 1, force: bool = False,
             envs = Environments(psi, H, tol=1e-12)
         Es, _Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
                                tol=solver_tol, krylov_dim=krylov_dim,
-                               verbosity=verbosity)
+                               verbosity=verbosity, solver=solver)
         return {"Es": Es, "momenta": momenta, "sector": sector}
 
     prefix = f"exc_{'_'.join(f'{c}' for c in charges)}"
@@ -127,7 +129,8 @@ def produce_excitations(sim, momenta, nums: int = 1, force: bool = False,
 def produce_domainwalls(sim, momenta, nums: int = 1, force: bool = False,
                         charges: Sequence[float] = (1, 0.5, 1),
                         shift: Optional[int] = None, solver_tol: float = 1e-6,
-                        krylov_dim: int = 30, datadir: Optional[str] = None,
+                        krylov_dim: int = 30, solver: str = "lanczos",
+                        datadir: Optional[str] = None,
                         verbosity: int = 0, **gs_kwargs) -> dict:
     """Cached domain-wall (topological) excitations: the right ground state
     is the unit cell circshifted by ``shift`` sites (default Q; reference
@@ -145,7 +148,8 @@ def produce_domainwalls(sim, momenta, nums: int = 1, force: bool = False,
         psi_s = circshift_mps(psi, s)
         Es, _Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
                                tol=solver_tol, krylov_dim=krylov_dim,
-                               verbosity=verbosity, psi_right=psi_s)
+                               verbosity=verbosity, psi_right=psi_s,
+                               solver=solver)
         return {"Es": Es, "momenta": momenta, "sector": sector, "shift": s}
 
     prefix = f"dw_{'_'.join(f'{c}' for c in charges)}"

@@ -118,3 +118,17 @@ def test_obc_fixed_mu_dispersion_golden():
     E = np.real(Es).ravel()
     np.testing.assert_allclose(np.imag(Es).ravel(), 0.0, atol=1e-8)
     assert np.all(np.abs(E - np.asarray(GOLDEN_OBC_DISPERSION)) < 1e-1)
+
+
+@pytest.mark.slow
+def test_hole_dispersion_arnoldi_solver_exact():
+    """solver="arnoldi" (the reference's excitation eigensolver choice,
+    HubbardFunctions.jl:1176) reproduces the exact insulator dispersion and
+    agrees with the default Lanczos path."""
+    sim, H, res = _solve(2, 1)
+    ks = np.linspace(0, np.pi, 3)
+    Es, _ = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -1),
+                        num=1, tol=1e-8, solver="arnoldi")
+    np.testing.assert_allclose(np.real(Es).ravel(), 2 * np.cos(ks) - 4.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.imag(Es).ravel(), 0.0, atol=1e-7)

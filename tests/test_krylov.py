@@ -93,3 +93,57 @@ def test_gmres_plan_matches_dense(complex_):
     x2, _ = gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
                   krylov_dim=25, tol=1e-12, max_restarts=20)
     assert np.linalg.norm(np.asarray(x) - np.asarray(x2)) < 1e-7
+
+
+# ----------------------------------------------------------------------
+# Arnoldi (general, non-Hermitian capable)
+# ----------------------------------------------------------------------
+
+def test_arnoldi_nonhermitian_real_spectrum():
+    """Similarity transform of a real diagonal: non-Hermitian operator whose
+    exact spectrum is known; Arnoldi must find the 3 smallest-real
+    eigenvalues where Lanczos assumptions fail."""
+    from hubbardtn_tpu.solvers.krylov import arnoldi_eig
+    rng = np.random.default_rng(0)
+    n = 60
+    D = np.diag(np.sort(rng.standard_normal(n)) * 3)
+    S = np.eye(n) + 0.3 * rng.standard_normal((n, n))
+    A = jnp.asarray(S @ D @ np.linalg.inv(S))
+    v0 = jnp.asarray(rng.standard_normal(n) + 0j)
+    ws, vs, info = arnoldi_eig(lambda x: A @ x, v0, num=3, krylov_dim=25,
+                               tol=1e-9)
+    exact = np.sort(np.diag(D))[:3]
+    np.testing.assert_allclose(np.sort(ws.real), exact, atol=1e-6)
+    assert info["resid"] < 1e-9
+    # returned vectors are genuine eigenvectors
+    for w, v in zip(ws, vs):
+        r = np.asarray(A @ v - w * v)
+        assert np.linalg.norm(r) < 1e-6
+
+
+def test_arnoldi_matches_lanczos_hermitian():
+    from hubbardtn_tpu.solvers.krylov import arnoldi_eig, lanczos_ground
+    rng = np.random.default_rng(3)
+    n = 40
+    B = rng.standard_normal((n, n))
+    B = jnp.asarray((B + B.T) / 2)
+    v0 = jnp.asarray(rng.standard_normal(n))
+    wl, _, _ = lanczos_ground(lambda x: B @ x, v0, krylov_dim=20, tol=1e-10)
+    wa, _, _ = arnoldi_eig(lambda x: B @ x, v0, num=1, krylov_dim=20,
+                           tol=1e-10)
+    assert abs(wl - wa[0].real) < 1e-8 and abs(wa[0].imag) < 1e-10
+
+
+def test_arnoldi_complex_pair():
+    """A rotation block has eigenvalues +/-i: genuinely complex spectrum the
+    Hermitian solvers cannot represent."""
+    from hubbardtn_tpu.solvers.krylov import arnoldi_eig
+    rng = np.random.default_rng(5)
+    C = np.zeros((4, 4))
+    C[0, 1], C[1, 0], C[2, 2], C[3, 3] = -1.0, 1.0, 2.0, 3.0
+    Cj = jnp.asarray(C + 0j)
+    ws, _, _ = arnoldi_eig(lambda x: Cj @ x,
+                           jnp.asarray(rng.standard_normal(4) + 0j),
+                           num=2, krylov_dim=4, tol=1e-10, which="sm")
+    np.testing.assert_allclose(np.sort(np.abs(ws)), [1.0, 1.0], atol=1e-8)
+    np.testing.assert_allclose(np.sort(ws.imag), [-1.0, 1.0], atol=1e-8)

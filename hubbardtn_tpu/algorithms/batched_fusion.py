@@ -123,6 +123,7 @@ class FusionDotPlan:
         freeB = [j for j in range(B.ndim) if j not in axB]
         self.dtype = a_stacks.dtype
         self.a_stacks, self.b_stacks = a_stacks, b_stacks
+        self._axA, self._axB = tuple(axA), tuple(axB)
 
         out_perm = tuple(out_perm) if out_perm is not None else None
         nout = len(freeA) + len(freeB)
@@ -266,6 +267,18 @@ class FusionDotPlan:
                            + "->z" + "".join(out_letters))
         self.out_perm = out_perm
 
+    def flops(self) -> float:
+        """Total multiply-add FLOPs of one apply() over the padded batched
+        einsums (2 * batch * prod(A dims) * prod(B free dims) per class
+        pair).  XLA's cost_analysis badly under-reports these
+        gather/scatter-composed programs, so benchmarks use this count."""
+        total = 0.0
+        for (ack, bck), (ai, _bi) in self.gemms.items():
+            z = int(ai.shape[0])
+            free_b = [d for j, d in enumerate(bck) if j not in self._axB]
+            total += 2.0 * z * float(np.prod(ack)) * float(np.prod(free_b))
+        return total
+
     # -- application ------------------------------------------------------
     def apply(self, A_arrays: Dict, B_arrays: Dict,
               out_arrays: Optional[Dict] = None) -> Dict:
@@ -407,6 +420,10 @@ class PaddedHACSU2:
         return jnp.concatenate(
             [OUT[ck].reshape(-1) for ck, _, _, _ in self.vec_meta])
 
+    def matvec_flops(self) -> float:
+        """Analytic FLOPs of one matvec (see FusionDotPlan.flops)."""
+        return self.p1.flops() + self.p2.flops() + self.p3.flops()
+
 
 class PaddedHCSU2:
     """Bucketed batched zero-site H_C for the channel-stacked SU(2) MPO:
@@ -490,3 +507,7 @@ class PaddedHCSU2:
         OUT = self.p2.apply(Y1, GRp)
         return jnp.concatenate(
             [OUT[ck].reshape(-1) for ck, _, _, _ in self.vec_meta])
+
+    def matvec_flops(self) -> float:
+        """Analytic FLOPs of one matvec (see FusionDotPlan.flops)."""
+        return self.p1.flops() + self.p2.flops()

@@ -201,10 +201,108 @@ class QuasiparticleProblem:
         else:
             self.C0L = self.C0R = C0
         self.C0 = C0
+        self._progs: Dict[bool, tuple] = {}
 
     def Bs_from_X(self, Xs: List[SymTensor]) -> List[SymTensor]:
         return [tensordot(self.NLs[x], Xs[x], axes=([2], [0]))
                 for x in range(self.T)]
+
+    def _programs(self, project: bool):
+        """Per-problem jitted H_eff pipeline (the SU2EnvEngine pattern:
+        constant tensors are baked into per-instance programs, traced once
+        per problem).  Four programs: ``pre`` (unpack X -> within-cell
+        sweeps -> packed GMRES right-hand sides for both geometric sums),
+        one fully-on-device 30-step GMRES restart per side, and ``post``
+        (boundary solutions -> interior fills -> gradient assembly ->
+        packed output).  The host syncs once per GMRES restart on its
+        scalar residual; everything else is three dispatches per H_eff
+        application — the dict path's per-contraction dispatch latency
+        would dominate over the TPU tunnel."""
+        if project in self._progs:
+            return self._progs[project]
+        from ..solvers.krylov import _gmres_restart_core
+        T = self.T
+        Ws, ALs, ARs = self.Ws, self.ALs, self.ARs
+        GLs, GRs = self.GLs, self.GRs
+        lbp, rbp, pk = self.lb_packer, self.rb_packer, self.packer
+        C0L, C0R = self.C0L, self.C0R
+        fin = max(self.RB_t.keys())
+
+        def pre(vecX, phase):
+            Xs = pk.unpack(vecX)
+            Bs = self.Bs_from_X(Xs)
+            cur = self.LB_t
+            for y in range(T):
+                tmpl = self.LB_ts[(y + 1) % T]
+                cur = _canon_env(tmpl, mpo_transfer_left(cur, Ws[y], ARs[y],
+                                                         ALs[y]))
+                ins = mpo_transfer_left(GLs[y], Ws[y], Bs[y], ALs[y])
+                cur = _canon_env(tmpl, _add_env(cur, ins))
+            CB = cur
+            if project:
+                CB = dict(CB)
+                CB[0] = _proj_out(CB[0], C0L, self.C0.inner(self.C0))
+            rhs = lbp.pack(jax.tree_util.tree_map(
+                lambda t: jnp.conj(phase) * t, CB))
+            cur = self.RB_t
+            for y in reversed(range(T)):
+                tmpl = self.RB_ts[(y - 1) % T]
+                cur = _canon_env(tmpl, mpo_transfer_right(cur, Ws[y], ALs[y],
+                                                          ARs[y]))
+                ins = mpo_transfer_right(GRs[y], Ws[y], Bs[y], ARs[y])
+                cur = _canon_env(tmpl, _add_env(cur, ins))
+            CBr = cur
+            if project:
+                CBr = dict(CBr)
+                CBr[fin] = _proj_out(CBr[fin], C0R, self.C0.inner(self.C0))
+            rhs_r = rbp.pack(jax.tree_util.tree_map(
+                lambda t: phase * t, CBr))
+            return rhs, rhs_r
+
+        def restartL(x, b, phase):
+            def mv(v):
+                return _mixL_core(v, Ws, tuple(ARs), tuple(ALs),
+                                  jnp.conj(phase), C0L, project=project,
+                                  packer=lbp)
+            return _gmres_restart_core(mv, x, b, 30)
+
+        def restartR(x, b, phase):
+            def mv(v):
+                return _mixR_core(v, Ws, tuple(ALs), tuple(ARs), phase,
+                                  C0R, fin=fin, project=project, packer=rbp)
+            return _gmres_restart_core(mv, x, b, 30)
+
+        def post(vecX, lb_vec, rb_vec):
+            Xs = pk.unpack(vecX)
+            Bs = self.Bs_from_X(Xs)
+            LBs = [lbp.unpack(lb_vec)]
+            for x in range(T - 1):
+                tmpl = self.LB_ts[x + 1]
+                nxt = _canon_env(tmpl, mpo_transfer_left(LBs[x], Ws[x],
+                                                         ARs[x], ALs[x]))
+                ins = mpo_transfer_left(GLs[x], Ws[x], Bs[x], ALs[x])
+                LBs.append(_canon_env(tmpl, _add_env(nxt, ins)))
+            RBs: List = [None] * T
+            RBs[T - 1] = rbp.unpack(rb_vec)
+            for x in reversed(range(1, T)):
+                tmpl = self.RB_ts[x - 1]
+                nxt = _canon_env(tmpl, mpo_transfer_right(RBs[x], Ws[x],
+                                                          ALs[x], ARs[x]))
+                ins = mpo_transfer_right(GRs[x], Ws[x], Bs[x], ARs[x])
+                RBs[x - 1] = _canon_env(tmpl, _add_env(nxt, ins))
+            out = []
+            for x in range(T):
+                G = apply_H_AC(GLs[x], Ws[x], GRs[x], Bs[x])
+                G = G + apply_H_AC(LBs[x], Ws[x], GRs[x], ARs[x])
+                G = G + apply_H_AC(GLs[x], Ws[x], RBs[x], ALs[x])
+                Xp = tensordot(self.NLs[x].conj(), G, axes=([0, 1], [0, 1]))
+                out.append(SymTensorFull(self.Xt[x]) + Xp)
+            return pk.pack(out)
+
+        progs = (jax.jit(pre), jax.jit(restartL), jax.jit(restartR),
+                 jax.jit(post))
+        self._progs[project] = progs
+        return progs
 
 
 def SymTensorFull(t: SymTensor) -> SymTensor:
@@ -221,9 +319,8 @@ def _proj_out(X: SymTensor, C0: SymTensor, nrm) -> SymTensor:
     return X - C0 * (C0.inner(X) / nrm)
 
 
-@partial(jax.jit, static_argnames=("packer", "project"))
-def _mixL_op(vec, Ws, kets, bras, phase, C0, *, project: bool,
-             packer: TreePacker):
+def _mixL_core(vec, Ws, kets, bras, phase, C0, *, project: bool,
+               packer: TreePacker):
     """(1 - phase * P T_mixL) applied to a packed boundary environment."""
     env = packer.unpack(vec)
     zero = jax.tree_util.tree_map(jnp.zeros_like, env)
@@ -238,9 +335,8 @@ def _mixL_op(vec, Ws, kets, bras, phase, C0, *, project: bool,
     return packer.pack(out)
 
 
-@partial(jax.jit, static_argnames=("packer", "fin", "project"))
-def _mixR_op(vec, Ws, kets, bras, phase, C0, *, fin: int, project: bool,
-             packer: TreePacker):
+def _mixR_core(vec, Ws, kets, bras, phase, C0, *, fin: int, project: bool,
+               packer: TreePacker):
     env = packer.unpack(vec)
     zero = jax.tree_util.tree_map(jnp.zeros_like, env)
     cur = env
@@ -252,6 +348,11 @@ def _mixR_op(vec, Ws, kets, bras, phase, C0, *, fin: int, project: bool,
         cur[fin] = _proj_out(cur[fin], C0, C0.inner(C0))
     out = jax.tree_util.tree_map(lambda a, b: a - phase * b, env, cur)
     return packer.pack(out)
+
+
+_mixL_op = partial(jax.jit, static_argnames=("packer", "project"))(_mixL_core)
+_mixR_op = partial(jax.jit,
+                   static_argnames=("packer", "fin", "project"))(_mixR_core)
 
 
 def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
@@ -340,6 +441,36 @@ def apply_heff(prob: QuasiparticleProblem, Xs: List[SymTensor],
     return out
 
 
+def apply_heff_packed(prob: QuasiparticleProblem, vecX: jnp.ndarray,
+                      phase: complex, gmres_tol: float = 1e-10,
+                      max_restarts: int = 10) -> jnp.ndarray:
+    """Packed-vector H_eff application through the per-problem jitted
+    pipeline (see :meth:`QuasiparticleProblem._programs`).  Same diagrams
+    and projector as :func:`apply_heff` (equality-tested); this is the form
+    the eigensolvers drive."""
+    trivial = prob.q == prob.group.trivial
+    at_zero = abs(phase - 1.0) < 1e-10
+    project = trivial and at_zero and not prob.topological
+    pre, restartL, restartR, post = prob._programs(project)
+    ph = jnp.asarray(phase, dtype=jnp.complex128)
+    rhs, rhs_r = pre(vecX, ph)
+
+    def solve(restart, b):
+        bnorm = float(jnp.linalg.norm(b))
+        if bnorm == 0.0:
+            return jnp.zeros_like(b)
+        x = jnp.zeros_like(b)
+        for _ in range(max_restarts):
+            x, resid = restart(x, b, ph)
+            if float(resid) / bnorm < gmres_tol:
+                break
+        return x
+
+    lb_vec = solve(restartL, rhs)
+    rb_vec = solve(restartR, rhs_r)
+    return post(vecX, lb_vec, rb_vec)
+
+
 def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 momenta: Sequence[float], sector: Sector, num: int = 1,
                 krylov_dim: int = 30, tol: float = 1e-6, verbosity: int = 0,
@@ -367,9 +498,8 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         phase = complex(np.exp(1j * k))
 
         def mv(vec):
-            Xs = pk.unpack(vec)
-            return pk.pack(apply_heff(prob, Xs, phase,
-                                      gmres_tol=max(tol * 1e-2, 1e-10)))
+            return apply_heff_packed(prob, vec, phase,
+                                     gmres_tol=max(tol * 1e-2, 1e-10))
 
         rng = np.random.default_rng(42 + ik)
         v0 = jnp.asarray(rng.standard_normal(pk.total)

@@ -132,3 +132,26 @@ def test_hole_dispersion_arnoldi_solver_exact():
     np.testing.assert_allclose(np.real(Es).ravel(), 2 * np.cos(ks) - 4.0,
                                atol=1e-6)
     np.testing.assert_allclose(np.imag(Es).ravel(), 0.0, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_apply_heff_packed_equals_dict_path():
+    """The per-problem jitted H_eff pipeline (pre-sweeps + on-device GMRES
+    restarts + fills/assembly) is equal to the host-composed apply_heff on
+    both the projected (k=0 trivial) and generic branches."""
+    import jax.numpy as jnp
+    from hubbardtn_tpu.algorithms.excitations import (QuasiparticleProblem,
+                                                      apply_heff,
+                                                      apply_heff_packed)
+    sim, H, res = _solve(2, 1)
+    prob = QuasiparticleProblem(res.psi, H, res.envs, (1, 1, -1))
+    pk = prob.packer
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal(pk.total)
+                    + 1j * rng.standard_normal(pk.total))
+    for k in (0.0, 0.7):
+        phase = complex(np.exp(1j * k))
+        a = pk.pack(apply_heff(prob, pk.unpack(v), phase, gmres_tol=1e-12))
+        b = apply_heff_packed(prob, v, phase, gmres_tol=1e-12)
+        d = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+        assert d < 1e-9, (k, d)

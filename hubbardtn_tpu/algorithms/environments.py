@@ -25,6 +25,7 @@ jits into a handful of stable XLA programs per MPS structure.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -299,7 +300,11 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     e = pair_envs(CF, rho) / tr_rho
 
     GL0 = dict(GL0)
-    if type(CF) is SymTensor and CF.ndim == 2:
+    # HTN_NO_ENV_PACK=1 forces the per-block dict GMRES path (A/B debugging
+    # knob: the packed path is block-exact but its different GEMM reduction
+    # order changes trajectories in degenerate landscapes)
+    if (type(CF) is SymTensor and CF.ndim == 2
+            and os.environ.get("HTN_NO_ENV_PACK", "") != "1"):
         # abelian: fully-bucketed batched transfer inside the GMRES restart
         from .batched_env import RegLeftPackedPlan
         plan = RegLeftPackedPlan(psi, dtype=dtype)
@@ -362,7 +367,8 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
     e = pair_envs(sig, CI) / tr_sig
 
     GR0 = dict(GR0)
-    if type(CI) is SymTensor and CI.ndim == 2:
+    if (type(CI) is SymTensor and CI.ndim == 2
+            and os.environ.get("HTN_NO_ENV_PACK", "") != "1"):
         from .batched_env import RegRightPackedPlan
         plan = RegRightPackedPlan(psi, dtype=dtype)
         ops = (plan.pack_As(psi), plan.layout.pack_transposed(sig),

@@ -118,13 +118,19 @@ class QuasiparticleProblem:
         # excitation energies with no offset corrections
         e_site = float(np.real(envs.energy_per_site))
         H = _shifted_mpo(H, e_site)
-        envs = Environments(psi, H, tol=1e-12)
+        # environment tolerance adapts to the working precision: 1e-12 is
+        # reachable in f64 but f32/c64 (the TPU deployment dtypes) stall at
+        # ~eps, and a fixed 1e-12 would burn every GMRES max_restart
+        eps = float(jnp.finfo(jnp.real(jnp.zeros(
+            (), dtype=psi.ALs[0].dtype)).dtype).eps)
+        env_tol = max(1e-12, 30 * eps)
+        envs = Environments(psi, H, tol=env_tol)
         resid_e = float(np.real(envs.energy_per_site))
-        if abs(resid_e) > 1e-6 * max(1.0, abs(e_site)):
+        if abs(resid_e) > max(1e-6, 1e3 * eps) * max(1.0, abs(e_site)):
             print(f"Warning: shifted-MPO residual energy {resid_e:.2e}")
         self.topological = psi_right is not None
         psi_r = psi_right if self.topological else psi
-        envs_r = (Environments(psi_r, H, tol=1e-12)
+        envs_r = (Environments(psi_r, H, tol=env_tol)
                   if self.topological else envs)
         self.H = H
         self.T = psi.T

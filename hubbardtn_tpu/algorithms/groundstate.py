@@ -38,6 +38,27 @@ def _min_schmidt(psi: UniformMPS) -> float:
     return out
 
 
+def _best_candidate(cands: list) -> UniformMPS:
+    """Lowest-energy truncation-stable state among expansion rounds whose
+    energy estimate can be trusted.
+
+    The grand-canonical landscape has competing filling sectors; an
+    expansion round can destabilize VUMPS (gradient error ~0.5), and the
+    energy it reports is then meaningless — estimates at large error are
+    not variational and can land *below* the true ground state.  A round
+    is distrusted only when its error is both far worse than the best
+    round's (>=20x) and large in absolute terms (>1e-2); among trusted
+    rounds the lowest energy wins.  Polishing the last round regardless
+    (the naive composition) hands a collapsed false-vacuum state to the
+    polish when the final expansion goes astray."""
+    best_err = min(c[1] for c in cands)
+    sane = [c for c in cands
+            if not (c[1] > 20.0 * best_err and c[1] > 1e-2)]
+    if not sane:
+        sane = [min(cands, key=lambda c: c[1])]
+    return min(sane, key=lambda c: c[0])[2]
+
+
 def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
                   tol: float, max_rounds: int, round_iters: int,
                   max_bond: Optional[int], verbosity: int) -> UniformMPS:
@@ -47,6 +68,7 @@ def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
     prev_dims = None
     trunc = Truncation(cutoff=cutoff,
                        max_dim=max_bond * psi.T if max_bond else None)
+    candidates = []  # (energy, gradient error, truncation-stable state)
     for rnd in range(max_rounds):
         res = vumps(psi, H, tol=max(tol, cutoff * 1e-2), maxiter=round_iters,
                     verbosity=max(0, verbosity - 1),
@@ -54,18 +76,30 @@ def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
         # what would survive truncation at the Schmidt cutoff?
         psi_t = svd_cut(res.psi, trunc)
         dims = sum(psi_t.bond_dims())
+        candidates.append((res.energy, res.error, psi_t))
         if verbosity >= 1:
             print(f"[gs] round {rnd}: e={res.energy:+.10f}"
                   f" bonds={res.psi.bond_dims()} -> cut {psi_t.bond_dims()}"
                   f" err={res.error:.2e}")
-        if prev_dims is not None and dims <= prev_dims * 1.05:
-            return psi_t  # converged in bond dimension (reference 5% rtol)
+        # converged when the total bond dimension stabilizes within 5%
+        # (reference :1019-1023) AND the basis actually saturates the
+        # Schmidt target: if the smallest kept Schmidt value is still far
+        # above the cutoff, the ansatz has not yet reached the 10^-svalue
+        # accuracy the cut is supposed to enforce — freezing it there
+        # leaves a variationally poorer sector structure (the reference's
+        # VUMPSSvdCut keeps expanding until its trscheme bites).
+        saturated = _min_schmidt(res.psi) <= cutoff * 10.0
+        if (prev_dims is not None and dims <= prev_dims * 1.05
+                and saturated):
+            # converged in bond dimension (reference 5% rtol)
+            return _best_candidate(candidates)
         prev_dims = dims
         if max_bond is not None and dims >= max_bond * psi.T:
-            return psi_t
+            return _best_candidate(candidates)
         grow = max(4, int(0.5 * dims / psi.T))
         if rnd == max_rounds - 1:
-            return psi_t  # budget exhausted: polish the truncation-stable state
+            # budget exhausted: polish the best truncation-stable state
+            return _best_candidate(candidates)
         psi = expand_bonds(res.psi, H, res.envs,
                            Truncation(rel_cutoff=1e-8, max_dim=grow))
         res = None  # environments/jit structures are stale after expansion

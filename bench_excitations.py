@@ -87,16 +87,47 @@ def main():
     ms_rr = _time_stage(lambda: restartR(x0r, rhs_r, phase))
     ms_post = _time_stage(lambda: post(v, lb, rb))
     composite = ms_pre + 2 * (ms_rl + ms_rr) + ms_post
+
+    # Momentum-batched pipeline: K dispersion lanes per dispatch (the
+    # default path of a K-momentum excitations() scan).  Per-momentum cost
+    # should drop well below the serial composite — the serial programs
+    # underutilize the MXU and pay the tunnel dispatch per stage.
+    K = 8
+    ks = np.linspace(0.1, np.pi, K)
+    ph_b = jnp.asarray(np.exp(1j * ks), dtype=jnp.complex128)
+    with jax.default_device(cpu):
+        V_host = (rng.standard_normal((K, prob.packer.total))
+                  + 1j * rng.standard_normal((K, prob.packer.total)))
+    Vb = jax.device_put(jnp.asarray(V_host), dev)
+    pre_b, restartL_b, restartR_b, post_b = prob._programs_batched(False)
+    t0 = time.perf_counter()
+    rhs_b, rhs_rb = pre_b(Vb, ph_b)
+    X0b = jnp.zeros_like(rhs_b)
+    lb_b, _ = restartL_b(X0b, rhs_b, ph_b)
+    rb_b, _ = restartR_b(X0b, rhs_rb, ph_b)
+    out_b = post_b(Vb, lb_b, rb_b)
+    jax.block_until_ready(out_b)
+    print(f"# batched (K={K}) compile {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr)
+    ms_pre_b = _time_stage(lambda: pre_b(Vb, ph_b))
+    ms_rl_b = _time_stage(lambda: restartL_b(X0b, rhs_b, ph_b))
+    ms_rr_b = _time_stage(lambda: restartR_b(X0b, rhs_rb, ph_b))
+    ms_post_b = _time_stage(lambda: post_b(Vb, lb_b, rb_b))
+    comp_b = (ms_pre_b + 2 * (ms_rl_b + ms_rr_b) + ms_post_b) / K
+
     print(json.dumps({
         "metric": f"exc_heff_ms_chi{b.chi}",
         "value": round(composite, 2),
         "unit": "ms",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(composite / comp_b, 1),
         "breakdown_ms": {"pre": round(ms_pre, 2),
                          "gmres_restart_L": round(ms_rl, 2),
                          "gmres_restart_R": round(ms_rr, 2),
                          "post": round(ms_post, 2)},
-        "note": "composite = pre + 2*(restartL+restartR) + post; c64 on TPU",
+        "batched_per_momentum_ms": round(comp_b, 2),
+        "batched_lanes": K,
+        "note": "composite = pre + 2*(restartL+restartR) + post; c64 on "
+                "TPU; vs_baseline = serial / batched-per-momentum",
     }))
 
 

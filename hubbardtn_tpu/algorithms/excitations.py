@@ -213,19 +213,12 @@ class QuasiparticleProblem:
         return [tensordot(self.NLs[x], Xs[x], axes=([2], [0]))
                 for x in range(self.T)]
 
-    def _programs(self, project: bool):
-        """Per-problem jitted H_eff pipeline (the SU2EnvEngine pattern:
-        constant tensors are baked into per-instance programs, traced once
-        per problem).  Four programs: ``pre`` (unpack X -> within-cell
-        sweeps -> packed GMRES right-hand sides for both geometric sums),
-        one fully-on-device 30-step GMRES restart per side, and ``post``
-        (boundary solutions -> interior fills -> gradient assembly ->
-        packed output).  The host syncs once per GMRES restart on its
-        scalar residual; everything else is three dispatches per H_eff
-        application — the dict path's per-contraction dispatch latency
-        would dominate over the TPU tunnel."""
-        if project in self._progs:
-            return self._progs[project]
+    def _raw_programs(self, project: bool):
+        """Un-jitted closures of the H_eff pipeline (see :meth:`_programs`):
+        ``pre(vecX, phase)``, ``restartL/R(x, b, phase)``,
+        ``post(vecX, lb_vec, rb_vec)``.  All four are pure functions of
+        traced arrays (constants baked in), so they can be jitted directly
+        (serial path) or vmapped over a momentum batch (batched path)."""
         from ..solvers.krylov import _gmres_restart_core
         T = self.T
         Ws, ALs, ARs = self.Ws, self.ALs, self.ARs
@@ -305,10 +298,37 @@ class QuasiparticleProblem:
                 out.append(SymTensorFull(self.Xt[x]) + Xp)
             return pk.pack(out)
 
-        progs = (jax.jit(pre), jax.jit(restartL), jax.jit(restartR),
-                 jax.jit(post))
-        self._progs[project] = progs
-        return progs
+        return pre, restartL, restartR, post
+
+    def _programs(self, project: bool):
+        """Per-problem jitted H_eff pipeline (the SU2EnvEngine pattern:
+        constant tensors are baked into per-instance programs, traced once
+        per problem).  Four programs: ``pre`` (unpack X -> within-cell
+        sweeps -> packed GMRES right-hand sides for both geometric sums),
+        one fully-on-device 30-step GMRES restart per side, and ``post``
+        (boundary solutions -> interior fills -> gradient assembly ->
+        packed output).  The host syncs once per GMRES restart on its
+        scalar residual; everything else is three dispatches per H_eff
+        application — the dict path's per-contraction dispatch latency
+        would dominate over the TPU tunnel."""
+        if project not in self._progs:
+            self._progs[project] = tuple(
+                jax.jit(f) for f in self._raw_programs(project))
+        return self._progs[project]
+
+    def _programs_batched(self, project: bool):
+        """Momentum-batched H_eff pipeline: the same four programs vmapped
+        over a leading momentum axis (vecX: [K, n], phase: [K]).  One
+        dispatch drives every momentum of a dispersion scan at once — the
+        lanes are independent eigenproblems of identical structure, so the
+        batch turns K underutilizing programs (and K dispatch round trips
+        per stage, ~0.5 s each over the TPU tunnel) into one MXU-saturating
+        program per stage."""
+        key = ("batched", project)
+        if key not in self._progs:
+            self._progs[key] = tuple(
+                jax.jit(jax.vmap(f)) for f in self._raw_programs(project))
+        return self._progs[key]
 
 
 def SymTensorFull(t: SymTensor) -> SymTensor:
@@ -477,11 +497,53 @@ def apply_heff_packed(prob: QuasiparticleProblem, vecX: jnp.ndarray,
     return post(vecX, lb_vec, rb_vec)
 
 
+def _gmres_solve_batched(restart, B: jnp.ndarray, ph: jnp.ndarray,
+                         tol: float, max_restarts: int) -> jnp.ndarray:
+    """Per-lane restarted GMRES over a batch of independent systems.
+    ``restart(X, B, ph) -> (X_new, resid[K])`` is a vmapped on-device
+    restart.  Converged lanes are frozen (their X kept) while the rest keep
+    restarting; the host syncs once per restart on the K residuals."""
+    bnorm = np.asarray(jnp.linalg.norm(B, axis=1))
+    X = jnp.zeros_like(B)
+    done = bnorm == 0.0
+    for _ in range(max_restarts):
+        if done.all():
+            break
+        Xn, resid = restart(X, B, ph)
+        keep = jnp.asarray(done)[:, None]
+        X = jnp.where(keep, X, Xn)
+        rel = np.asarray(resid) / np.maximum(bnorm, 1e-300)
+        done = done | (rel < tol)
+    return X
+
+
+def apply_heff_packed_batched(prob: QuasiparticleProblem, Vb: jnp.ndarray,
+                              phases: jnp.ndarray, project: bool,
+                              gmres_tol: float = 1e-10,
+                              max_restarts: int = 10) -> jnp.ndarray:
+    """Momentum-batched H_eff: apply the effective Hamiltonian at every
+    momentum of the batch in one vmapped pipeline (``Vb``: [K, n] packed X
+    vectors, ``phases``: [K] unit-cell phases e^{ik}).  All lanes must
+    share the ``project`` flag (the k = 0 trivial-sector projector changes
+    the traced program); :func:`excitations` partitions momenta
+    accordingly.  Same diagrams as :func:`apply_heff` per lane."""
+    pre_b, restartL_b, restartR_b, post_b = prob._programs_batched(project)
+    ph = jnp.asarray(phases, dtype=jnp.complex128)
+    rhs, rhs_r = pre_b(Vb, ph)
+    lb = _gmres_solve_batched(lambda X, B, p: restartL_b(X, B, p),
+                              rhs, ph, gmres_tol, max_restarts)
+    rb = _gmres_solve_batched(lambda X, B, p: restartR_b(X, B, p),
+                              rhs_r, ph, gmres_tol, max_restarts)
+    return post_b(Vb, lb, rb)
+
+
 def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 momenta: Sequence[float], sector: Sector, num: int = 1,
                 krylov_dim: int = 30, tol: float = 1e-6, verbosity: int = 0,
                 psi_right: Optional[UniformMPS] = None,
-                solver: str = "lanczos") -> Tuple[np.ndarray, list]:
+                solver: str = "lanczos",
+                batch_momenta: Optional[bool] = None
+                ) -> Tuple[np.ndarray, list]:
     """Lowest ``num`` excitation energies at each momentum (phase per unit
     cell = e^{i k}).  Returns (Es[len(momenta), num], X parameter lists).
     Pass ``psi_right`` (e.g. a circshifted ground state) for topological /
@@ -491,7 +553,14 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
     Hermitian) or "arnoldi" — the reference's choice
     (``Arnoldi(krylovdim=30, tol=1e-6, eager=true)``,
     /root/reference/src/HubbardFunctions.jl:1176), which makes no
-    Hermiticity assumption."""
+    Hermiticity assumption.
+
+    ``batch_momenta`` (default: auto = on when it applies) solves all
+    momenta with the same traced program (same projector flag) as ONE
+    vmapped batched eigensolve — one momentum per lane — instead of a
+    serial scan; available for the lanczos solver with ``num == 1``.
+    Lanes converge independently; the results are identical to the serial
+    path up to eigensolver tolerance (equality-tested)."""
     if solver not in ("lanczos", "arnoldi"):
         raise ValueError(f"unknown solver {solver!r}")
     prob = QuasiparticleProblem(psi, H, envs, sector, psi_right=psi_right)
@@ -499,24 +568,67 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         raise ValueError(f"no excitation parameters in sector {sector}")
     pk = prob.packer
     Es = np.zeros((len(momenta), num), dtype=np.complex128)
-    Xs_out = []
+    Xs_out: list = [None] * len(momenta)
+    phases = [complex(np.exp(1j * k)) for k in momenta]
+    trivial = prob.q == prob.group.trivial
+
+    def _project(phase: complex) -> bool:
+        return (trivial and abs(phase - 1.0) < 1e-10
+                and not prob.topological)
+
+    def _v0(ik: int) -> np.ndarray:
+        rng = np.random.default_rng(42 + ik)
+        return (rng.standard_normal(pk.total)
+                + 1j * rng.standard_normal(pk.total))
+
+    use_batch = (solver == "lanczos" and num == 1 and len(momenta) > 1
+                 if batch_momenta is None else batch_momenta)
+    handled = set()
+    if use_batch and solver == "lanczos" and num == 1:
+        from ..solvers.krylov import lanczos_ground_batched
+        groups: Dict[bool, list] = {}
+        for ik, ph in enumerate(phases):
+            groups.setdefault(_project(ph), []).append(ik)
+        gmres_tol = max(tol * 1e-2, 1e-10)
+        for project, idxs in groups.items():
+            if len(idxs) < 2:
+                continue   # a single lane runs the serial path below
+            ph_arr = jnp.asarray([phases[i] for i in idxs],
+                                 dtype=jnp.complex128)
+            V0 = jnp.asarray(np.stack([_v0(i) for i in idxs]),
+                             dtype=jnp.complex128)
+
+            def mv_b(Vb, _ph=ph_arr, _project=project):
+                return apply_heff_packed_batched(prob, Vb, _ph, _project,
+                                                 gmres_tol=gmres_tol)
+
+            ths, Vv, info = lanczos_ground_batched(
+                mv_b, V0, krylov_dim=krylov_dim, tol=tol, max_restarts=40)
+            for lane, ik in enumerate(idxs):
+                Es[ik, 0] = ths[lane] - prob.lam0
+                Xs_out[ik] = pk.unpack(Vv[lane])
+                handled.add(ik)
+                if verbosity >= 1:
+                    print(f"[exc] k={momenta[ik]:.4f}"
+                          f"  E={ths[lane] - prob.lam0:.8f}"
+                          f"  resid={info['resid'][lane]:.2e} (batched)")
     for ik, k in enumerate(momenta):
-        phase = complex(np.exp(1j * k))
+        if ik in handled:
+            continue
+        phase = phases[ik]
 
         def mv(vec):
             return apply_heff_packed(prob, vec, phase,
                                      gmres_tol=max(tol * 1e-2, 1e-10))
 
-        rng = np.random.default_rng(42 + ik)
-        v0 = jnp.asarray(rng.standard_normal(pk.total)
-                         + 1j * rng.standard_normal(pk.total))
+        v0 = jnp.asarray(_v0(ik))
         if solver == "arnoldi":
             from ..solvers.krylov import arnoldi_eig
             ws, vs, info = arnoldi_eig(mv, v0, num=num,
                                        krylov_dim=krylov_dim, tol=tol,
                                        which="sr", max_restarts=40)
             Es[ik, :] = np.asarray(ws) - prob.lam0
-            Xs_out.append(pk.unpack(vs[0]) if num == 1
+            Xs_out[ik] = (pk.unpack(vs[0]) if num == 1
                           else [pk.unpack(v) for v in vs])
             if verbosity >= 1:
                 print(f"[exc] k={k:.4f}  E={np.asarray(ws) - prob.lam0}"
@@ -525,14 +637,14 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
             w, v, info = lanczos_ground(mv, v0, krylov_dim=krylov_dim,
                                         tol=tol, max_restarts=40)
             Es[ik, 0] = w - prob.lam0
-            Xs_out.append(pk.unpack(v))
+            Xs_out[ik] = pk.unpack(v)
             if verbosity >= 1:
                 print(f"[exc] k={k:.4f}  E={w - prob.lam0:.8f}"
                       f"  resid={info['resid']:.2e}  iters={info['iters']}")
         else:
             ws, vs = _lanczos_lowest_k(mv, v0, num, krylov_dim, tol)
             Es[ik, :] = np.asarray(ws) - prob.lam0
-            Xs_out.append([pk.unpack(v) for v in vs])
+            Xs_out[ik] = [pk.unpack(v) for v in vs]
             if verbosity >= 1:
                 print(f"[exc] k={k:.4f}  E={np.asarray(ws) - prob.lam0}")
     return Es, Xs_out

@@ -66,8 +66,10 @@ def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
     stabilizes within 5% rtol (reference :1011-1023)."""
     res = None
     prev_dims = None
-    trunc = Truncation(cutoff=cutoff,
-                       max_dim=max_bond * psi.T if max_bond else None)
+    # max_dim caps each bond's spectrum (svd_cut truncates per bond): a
+    # per-bond cap of max_bond bounds the total at max_bond * T, matching
+    # the dims >= max_bond * T stop below
+    trunc = Truncation(cutoff=cutoff, max_dim=max_bond)
     candidates = []  # (energy, gradient error, truncation-stable state)
     for rnd in range(max_rounds):
         res = vumps(psi, H, tol=max(tol, cutoff * 1e-2), maxiter=round_iters,

@@ -339,6 +339,85 @@ def lanczos_ground(matvec: Callable[[jnp.ndarray], jnp.ndarray],
     return theta, v, {"resid": float(resid), "iters": iters}
 
 
+def lanczos_ground_batched(matvec_b: Callable[[jnp.ndarray], jnp.ndarray],
+                           V0: jnp.ndarray, krylov_dim: int = 16,
+                           tol: float = 1e-12, max_restarts: int = 100
+                           ) -> Tuple[np.ndarray, jnp.ndarray, dict]:
+    """Smallest eigenpair of K independent Hermitian operators at once.
+
+    ``matvec_b`` maps a [K, n] batch to a [K, n] batch, applying lane k's
+    operator to row k (e.g. a vmapped excitation H_eff, one momentum per
+    lane); ``V0`` is the [K, n] batch of start vectors.  The recurrence is
+    the same restarted, fully-reorthogonalized scheme as
+    :func:`lanczos_ground`, vectorized over the lane axis: one batched
+    matvec per step instead of K separate solves, one host sync per restart
+    (the K small tridiagonal eigenproblems run as a single batched
+    ``np.linalg.eigh``).  Lanes converge independently — a converged lane's
+    (theta, v) is frozen while the rest keep restarting.
+
+    Returns ``(theta[K], V[K, n], {"resid": [K], "iters": int})``.
+    """
+    K, n = V0.shape
+    v = V0 / jnp.linalg.norm(V0, axis=1, keepdims=True)
+    kd = krylov_dim
+    theta = np.full(K, np.inf)
+    resid = np.full(K, np.inf)
+    done = np.zeros(K, dtype=bool)
+    iters = 0
+    for _ in range(max_restarts):
+        V = jnp.zeros((kd + 1, K, n), dtype=v.dtype).at[0].set(v)
+        a_dev, b_dev = [], []
+        for j in range(kd):
+            w = matvec_b(V[j])
+            iters += 1
+            a_dev.append(jnp.real(jnp.einsum("kn,kn->k", jnp.conj(V[j]), w)))
+            # full reorthogonalization per lane (twice, as in the serial path)
+            c1 = jnp.einsum("jkn,kn->jk", jnp.conj(V), w)
+            w = w - jnp.einsum("jkn,jk->kn", V, c1)
+            c2 = jnp.einsum("jkn,kn->jk", jnp.conj(V), w)
+            w = w - jnp.einsum("jkn,jk->kn", V, c2)
+            b = jnp.linalg.norm(w, axis=1)
+            b_dev.append(b)
+            if j < kd - 1:
+                ok = (b > 1e-300)[:, None]
+                V = V.at[j + 1].set(
+                    jnp.where(ok, w / jnp.maximum(b, 1e-300)[:, None], 0.0))
+        # host gather (numpy concatenation: see lanczos_ground's note on
+        # XLA CPU's eager concatenate family)
+        alphas = np.stack([np.asarray(a) for a in a_dev], axis=1)  # [K, kd]
+        betas = np.stack([np.asarray(b) for b in b_dev], axis=1)   # [K, kd]
+        # masked tridiagonal per lane: rows past a breakdown get a +1e30
+        # penalty so they never win the eigensolve (as _lanczos_restart_core)
+        valid = np.concatenate(
+            [np.ones((K, 1), dtype=bool),
+             np.cumprod(betas[:, :kd - 1] > 1e-14, axis=1) > 0], axis=1)
+        al = np.where(valid, alphas, 1e30)
+        bl = np.where(valid[:, 1:], betas[:, :kd - 1], 0.0)
+        Tm = np.zeros((K, kd, kd))
+        idx = np.arange(kd)
+        Tm[:, idx, idx] = al
+        if kd > 1:
+            i2 = np.arange(kd - 1)
+            Tm[:, i2, i2 + 1] = bl
+            Tm[:, i2 + 1, i2] = bl
+        evals, evecs = np.linalg.eigh(Tm)
+        th = evals[:, 0]
+        c = np.where(valid, evecs[:, :, 0], 0.0)                   # [K, kd]
+        r_new = np.abs(betas[:, kd - 1] * c[:, kd - 1])
+        r_new = np.where(valid.all(axis=1), r_new, 0.0)  # breakdown: exact
+        v_new = jnp.einsum("jkn,kj->kn", V[:kd],
+                           jnp.asarray(c, dtype=v.dtype))
+        v_new = v_new / jnp.linalg.norm(v_new, axis=1, keepdims=True)
+        keep = jnp.asarray(done)[:, None]
+        v = jnp.where(keep, v, v_new)
+        theta = np.where(done, theta, th)
+        resid = np.where(done, resid, r_new)
+        done = done | (resid < tol)
+        if done.all():
+            break
+    return theta, v, {"resid": resid, "iters": iters}
+
+
 # ----------------------------------------------------------------------
 # GMRES: linear solve
 # ----------------------------------------------------------------------

@@ -188,7 +188,10 @@ def produce_TruncState(sim, trunc_dim: int, trunc_scheme: int = 0,
     def compute():
         gs = produce_groundstate(sim, force=False, datadir=datadir, **gs_kwargs)
         psi, H = gs["groundstate"], gs["ham"]
-        psi_t = svd_cut(psi, Truncation(max_dim=trunc_dim * psi.T))
+        # Truncation.max_dim caps each bond's C spectrum (svd_cut truncates
+        # per bond), matching the reference's truncdim(trunc_dim) and its
+        # invariant sum(D_trunc)/T <= trunc_dim (test/MB.jl:94-104)
+        psi_t = svd_cut(psi, Truncation(max_dim=trunc_dim))
         if trunc_scheme == 0:
             from .algorithms.vumps import vumps
             psi_t = vumps(psi_t, H, tol=1e-7, maxiter=50).psi

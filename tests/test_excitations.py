@@ -155,3 +155,40 @@ def test_apply_heff_packed_equals_dict_path():
         b = apply_heff_packed(prob, v, phase, gmres_tol=1e-12)
         d = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
         assert d < 1e-9, (k, d)
+
+
+@pytest.mark.slow
+def test_batched_momenta_equals_serial():
+    """The momentum-batched eigensolve (one vmapped H_eff pipeline driving
+    every momentum lane at once) returns the same dispersion as the serial
+    per-momentum path, including the exact insulator values."""
+    sim, H, res = _solve(2, 1)
+    ks = np.linspace(0, np.pi, 3)
+    Es_b, Xb = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -1),
+                           num=1, tol=1e-8, batch_momenta=True)
+    Es_s, _ = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -1),
+                          num=1, tol=1e-8, batch_momenta=False)
+    np.testing.assert_allclose(Es_b, Es_s, atol=1e-7)
+    np.testing.assert_allclose(np.real(Es_b).ravel(), 2 * np.cos(ks) - 4.0,
+                               atol=1e-6)
+    assert all(x is not None for x in Xb)
+
+
+@pytest.mark.slow
+def test_batched_momenta_projector_partition():
+    """A trivial-sector scan containing k=0 partitions by projector flag:
+    the k=0 lane (which needs the C0 projector in its traced program) falls
+    back to the serial path while the k>0 lanes run batched; results match
+    the all-serial scan."""
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=4,
+                         seed=1)
+    res = vumps(psi, H, tol=1e-9, maxiter=150)
+    ks = np.array([0.0, 1.0, 2.0])
+    triv = H.site.group.trivial
+    Es_b, _ = excitations(res.psi, H, res.envs, ks, sector=triv, num=1,
+                          tol=1e-6, batch_momenta=True)
+    Es_s, _ = excitations(res.psi, H, res.envs, ks, sector=triv, num=1,
+                          tol=1e-6, batch_momenta=False)
+    np.testing.assert_allclose(Es_b, Es_s, atol=1e-5)

@@ -558,9 +558,11 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
     ``batch_momenta`` (default: auto = on when it applies) solves all
     momenta with the same traced program (same projector flag) as ONE
     vmapped batched eigensolve — one momentum per lane — instead of a
-    serial scan; available for the lanczos solver with ``num == 1``.
-    Lanes converge independently; the results are identical to the serial
-    path up to eigensolver tolerance (equality-tested)."""
+    serial scan; available for the lanczos solver (``num > 1`` runs the
+    same per-state deflation as the serial path, with the momentum batch
+    inside each state's restarted solve).  Lanes converge independently;
+    the results are identical to the serial path up to eigensolver
+    tolerance (equality-tested)."""
     if solver not in ("lanczos", "arnoldi"):
         raise ValueError(f"unknown solver {solver!r}")
     prob = QuasiparticleProblem(psi, H, envs, sector, psi_right=psi_right)
@@ -581,10 +583,10 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         return (rng.standard_normal(pk.total)
                 + 1j * rng.standard_normal(pk.total))
 
-    use_batch = (solver == "lanczos" and num == 1 and len(momenta) > 1
+    use_batch = (solver == "lanczos" and len(momenta) > 1
                  if batch_momenta is None else batch_momenta)
     handled = set()
-    if use_batch and solver == "lanczos" and num == 1:
+    if use_batch and solver == "lanczos":
         from ..solvers.krylov import lanczos_ground_batched
         groups: Dict[bool, list] = {}
         for ik, ph in enumerate(phases):
@@ -602,16 +604,28 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 return apply_heff_packed_batched(prob, Vb, _ph, _project,
                                                  gmres_tol=gmres_tol)
 
-            ths, Vv, info = lanczos_ground_batched(
-                mv_b, V0, krylov_dim=krylov_dim, tol=tol, max_restarts=40)
-            for lane, ik in enumerate(idxs):
-                Es[ik, 0] = ths[lane] - prob.lam0
-                Xs_out[ik] = pk.unpack(Vv[lane])
-                handled.add(ik)
-                if verbosity >= 1:
-                    print(f"[exc] k={momenta[ik]:.4f}"
-                          f"  E={ths[lane] - prob.lam0:.8f}"
-                          f"  resid={info['resid'][lane]:.2e} (batched)")
+            if num == 1:
+                ths, Vv, info = lanczos_ground_batched(
+                    mv_b, V0, krylov_dim=krylov_dim, tol=tol,
+                    max_restarts=40)
+                for lane, ik in enumerate(idxs):
+                    Es[ik, 0] = ths[lane] - prob.lam0
+                    Xs_out[ik] = pk.unpack(Vv[lane])
+                    handled.add(ik)
+                    if verbosity >= 1:
+                        print(f"[exc] k={momenta[ik]:.4f}"
+                              f"  E={ths[lane] - prob.lam0:.8f}"
+                              f"  resid={info['resid'][lane]:.2e} (batched)")
+            else:
+                Ws, Vlist = _lanczos_lowest_k_batched(
+                    mv_b, V0, num, krylov_dim, tol)
+                for lane, ik in enumerate(idxs):
+                    Es[ik, :] = Ws[lane] - prob.lam0
+                    Xs_out[ik] = [pk.unpack(Vm[lane]) for Vm in Vlist]
+                    handled.add(ik)
+                    if verbosity >= 1:
+                        print(f"[exc] k={momenta[ik]:.4f}"
+                              f"  E={Ws[lane] - prob.lam0} (batched)")
     for ik, k in enumerate(momenta):
         if ik in handled:
             continue
@@ -648,6 +662,51 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
             if verbosity >= 1:
                 print(f"[exc] k={k:.4f}  E={np.asarray(ws) - prob.lam0}")
     return Es, Xs_out
+
+
+def _lanczos_lowest_k_batched(mv_b, V0, num, krylov_dim, tol,
+                              max_restarts=40):
+    """Momentum-batched counterpart of :func:`_lanczos_lowest_k`: the
+    deflation loop over states stays serial (num is small), but each
+    state's restarted solve runs every momentum lane at once on the
+    batched operator.  Lane k's deflation basis is lane k's previously
+    converged vectors, applied as batched projections P H P.
+
+    Returns ``(Ws[K, num], [V_m[K, n] for m in range(num)])``.
+    """
+    from ..solvers.krylov import lanczos_ground_batched
+
+    K, n = V0.shape
+    Ws = np.zeros((K, num))
+    Vlist: list = []
+    rng = np.random.default_rng(7)
+    for m in range(num):
+        basis = jnp.stack(Vlist, axis=1) if Vlist else None   # [K, m, n]
+
+        def project(X, _basis=basis):
+            if _basis is None:
+                return X
+            c = jnp.einsum("kmn,kn->km", jnp.conj(_basis), X)
+            return X - jnp.einsum("kmn,km->kn", _basis, c)
+
+        def mv_defl(X, _project=project):
+            return _project(mv_b(_project(X)))
+
+        if m == 0:
+            Vst = V0
+        else:
+            Vst = jnp.asarray(rng.standard_normal((K, n))
+                              + 1j * rng.standard_normal((K, n)))
+        Vst = project(Vst)
+        Vst = Vst / jnp.linalg.norm(Vst, axis=1, keepdims=True)
+        th, V, _info = lanczos_ground_batched(
+            mv_defl, Vst, krylov_dim=krylov_dim, tol=tol,
+            max_restarts=max_restarts)
+        V = project(V)
+        V = V / jnp.linalg.norm(V, axis=1, keepdims=True)
+        Ws[:, m] = np.asarray(th)
+        Vlist.append(V)
+    return Ws, Vlist
 
 
 def _lanczos_lowest_k(mv, v0, num, krylov_dim, tol, max_restarts=40):

@@ -175,6 +175,23 @@ def test_batched_momenta_equals_serial():
 
 
 @pytest.mark.slow
+def test_batched_momenta_num2_equals_serial():
+    """num=2 through the momentum-batched deflated solver: both folded
+    insulator branches exact, equal to the serial deflation per momentum."""
+    sim, H, res = _solve(4, 2)
+    ks = np.array([0.7, 1.4, 2.0])
+    Es_b, Xb = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -2),
+                           num=2, tol=1e-8, batch_momenta=True)
+    Es_s, _ = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -2),
+                          num=2, tol=1e-8, batch_momenta=False)
+    np.testing.assert_allclose(np.real(Es_b), np.real(Es_s), atol=1e-7)
+    expected = np.stack([-2 * np.abs(np.cos(ks / 2)) - 4.0,
+                         +2 * np.abs(np.cos(ks / 2)) - 4.0], axis=1)
+    np.testing.assert_allclose(np.real(Es_b), expected, atol=1e-6)
+    assert all(isinstance(x, list) and len(x) == 2 for x in Xb)
+
+
+@pytest.mark.slow
 def test_batched_momenta_projector_partition():
     """A trivial-sector scan containing k=0 partitions by projector flag:
     the k=0 lane (which needs the C0 projector in its traced program) falls

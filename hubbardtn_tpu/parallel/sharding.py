@@ -74,6 +74,22 @@ def shard_stacks(mesh: Mesh, stacks, axis_name: str = "tp"):
             for ck, arr in stacks.items()}
 
 
+def shard_lanes(mesh: Mesh, arr, axis_name: str = "tp"):
+    """Place a momentum-batched operand (``[K, ...]``) with its lane axis
+    split across the mesh.  Dispersion-scan lanes are independent
+    eigenproblems, so splitting the batch axis of the vmapped H_eff
+    pipeline is pure data parallelism — XLA lowers it without collectives
+    and a K-point scan scales linearly over chips.  Lane counts not
+    divisible by the mesh are replicated (device_put rejects ragged
+    shards)."""
+    n = mesh.devices.size
+    if arr.ndim and arr.shape[0] % n == 0 and arr.shape[0] >= n:
+        spec = P(axis_name, *([None] * (arr.ndim - 1)))
+    else:
+        spec = P(*([None] * arr.ndim))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
 def n_sharded_leaves(tree) -> tuple:
     """(sharded, total) leaf counts — a leaf counts as sharded when its
     placement is not fully replicated."""

@@ -95,6 +95,39 @@ def test_sharded_env_transfer_matches(problem):
                                        np.asarray(blk), atol=1e-11)
 
 
+def test_sharded_momentum_lanes_match():
+    """The momentum-batched excitation H_eff with its lane axis sharded
+    over the mesh == unsharded: scan lanes are independent, so the batch
+    axis is a collective-free data-parallel axis (a K-point dispersion
+    scan scales linearly over chips)."""
+    from hubbardtn_tpu.algorithms.excitations import (
+        QuasiparticleProblem, apply_heff_packed_batched)
+    from hubbardtn_tpu.algorithms.vumps import vumps
+    from hubbardtn_tpu.mps.imps import initialize_mps
+    from hubbardtn_tpu.parallel.sharding import shard_lanes
+
+    sim = OBSim(t=(1.0,), u=(4.0,), P=2, Q=1)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=3,
+                         seed=1, cells=2)
+    res = vumps(psi, H, tol=1e-10, maxiter=60)
+    prob = QuasiparticleProblem(res.psi, H, res.envs, (1, 1, -1))
+    K = 8
+    ph = jnp.asarray(np.exp(1j * np.linspace(0.2, np.pi, K)),
+                     dtype=jnp.complex128)
+    rng = np.random.default_rng(3)
+    Vb = jnp.asarray(rng.standard_normal((K, prob.packer.total))
+                     + 1j * rng.standard_normal((K, prob.packer.total)))
+    ref = np.asarray(apply_heff_packed_batched(prob, Vb, ph, False))
+
+    mesh = make_mesh(8)
+    Vb_sh = shard_lanes(mesh, Vb)
+    ph_sh = shard_lanes(mesh, ph)
+    assert not Vb_sh.sharding.is_fully_replicated
+    out = np.asarray(apply_heff_packed_batched(prob, Vb_sh, ph_sh, False))
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
 def test_sharded_su2_batched_matvec_matches():
     """The SU(2) bucketed fusion H_AC with sharded stacks == unsharded:
     the stack layout (class key -> (n, ...) array) is backend-agnostic, so

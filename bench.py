@@ -28,12 +28,16 @@ timed stage is one jitted program.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_LAST_RESULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "bench_last.json")
 
 
 def _random_host(cls, group, spaces, arrows, charge=None,
@@ -563,7 +567,79 @@ def dict_matvec_bench(bench, dev, reps=20):
     return _time_stage(run, reps=1, groups=3) / reps
 
 
+def _tpu_ready(timeout_s: float = 180.0) -> bool:
+    """Probe the tunneled TPU in a SUBPROCESS with a hard timeout.
+
+    A down tunnel does not merely error: initializing the axon backend can
+    hang indefinitely, which would wedge the whole bench run.  The probe
+    initializes the backend and runs one tiny matmul in a throwaway
+    process, so the main process never touches a dead backend."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp\n"
+            "d = jax.devices()[0]\n"
+            "x = jnp.ones((128, 128))\n"
+            "jax.block_until_ready(x @ x)\n"
+            "print('ok', d)\n")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+        if p.returncode != 0:
+            print(f"# tpu probe failed: {p.stderr.strip()[-200:]}",
+                  file=sys.stderr)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(f"# tpu probe hung (> {timeout_s:.0f}s), tunnel down",
+              file=sys.stderr)
+        return False
+
+
+def _emit(result: dict):
+    """Print the one JSON line and cache it for the stale-fallback path."""
+    print(json.dumps(result))
+    try:
+        os.makedirs(os.path.dirname(_LAST_RESULT), exist_ok=True)
+        with open(_LAST_RESULT, "w") as f:
+            json.dump({**result, "measured_at": time.strftime(
+                "%Y-%m-%d %H:%M:%S UTC", time.gmtime())}, f)
+    except OSError as e:
+        print(f"# could not cache bench result: {e}", file=sys.stderr)
+
+
 def main():
+    """Wait (bounded) for the shared TPU tunnel, run the bench, and always
+    print one JSON line: live numbers when the chip is reachable, the last
+    measured numbers marked ``"stale": true`` when it is not (losing the
+    round's record to tunnel downtime helps nobody; the marker keeps the
+    fallback honest)."""
+    wait_s = float(os.environ.get("BENCH_TPU_WAIT_S", 1800))
+    deadline = time.time() + wait_s
+    while True:
+        if _tpu_ready():
+            _run_live()
+            return
+        if time.time() >= deadline:
+            break
+        print("# waiting 120s for the TPU tunnel...", file=sys.stderr)
+        time.sleep(120)
+    try:
+        with open(_LAST_RESULT) as f:
+            cached = json.load(f)
+    except OSError:
+        print(json.dumps({
+            "metric": "vumps_iteration_ms", "value": 0.0, "unit": "ms",
+            "vs_baseline": 0.0,
+            "note": "TPU tunnel unreachable for the whole bench window and "
+                    "no cached result exists",
+        }))
+        return
+    cached["stale"] = True
+    cached["note"] = ("TPU tunnel unreachable at bench time; these are the "
+                      "most recent measured values (see measured_at), NOT a "
+                      "fresh run. " + cached.get("note", "")).strip()
+    print(json.dumps(cached))
+
+
+def _run_live():
     last_err = None
     # per-sector caps on a 3-cell fusion window: 64 -> bonds (1740, 2752),
     # the chi~2048-class structure of the north star
@@ -634,7 +710,7 @@ def main():
                 print(f"# dict-path matvec failed: {e}", file=sys.stderr)
                 dict_ms = 0.0
             tflops = total_flops / (total_ms * 1e-3) / 1e12 if total_ms else 0
-            print(json.dumps({
+            _emit({
                 "metric": f"vumps_iteration_ms_chi{chi}",
                 "value": round(total_ms, 2),
                 "unit": "ms",
@@ -649,7 +725,7 @@ def main():
                 "h_ac_matvec_tflops": round(
                     mv_fl / (mv_ms * 1e-3) / 1e12, 3) if mv_ms else 0,
                 **su2_stats,
-            }))
+            })
             return
         except Exception as e:  # TPU tunnel flakiness: retry smaller
             last_err = e

@@ -558,11 +558,11 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
     ``batch_momenta`` (default: auto = on when it applies) solves all
     momenta with the same traced program (same projector flag) as ONE
     vmapped batched eigensolve — one momentum per lane — instead of a
-    serial scan; available for the lanczos solver (``num > 1`` runs the
-    same per-state deflation as the serial path, with the momentum batch
-    inside each state's restarted solve).  Lanes converge independently;
-    the results are identical to the serial path up to eigensolver
-    tolerance (equality-tested)."""
+    serial scan; both solvers batch (``num > 1`` runs the same per-state
+    deflation as the serial path, with the momentum batch inside each
+    state's restarted solve).  Lanes converge independently; the results
+    are identical to the serial path up to eigensolver tolerance
+    (equality-tested)."""
     if solver not in ("lanczos", "arnoldi"):
         raise ValueError(f"unknown solver {solver!r}")
     prob = QuasiparticleProblem(psi, H, envs, sector, psi_right=psi_right)
@@ -583,11 +583,12 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         return (rng.standard_normal(pk.total)
                 + 1j * rng.standard_normal(pk.total))
 
-    use_batch = (solver == "lanczos" and len(momenta) > 1
+    use_batch = (len(momenta) > 1
                  if batch_momenta is None else batch_momenta)
     handled = set()
-    if use_batch and solver == "lanczos":
-        from ..solvers.krylov import lanczos_ground_batched
+    if use_batch:
+        from ..solvers.krylov import (arnoldi_eig_batched,
+                                      lanczos_ground_batched)
         groups: Dict[bool, list] = {}
         for ik, ph in enumerate(phases):
             groups.setdefault(_project(ph), []).append(ik)
@@ -604,7 +605,22 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 return apply_heff_packed_batched(prob, Vb, _ph, _project,
                                                  gmres_tol=gmres_tol)
 
-            if num == 1:
+            if solver == "arnoldi":
+                Ws, Vlist, info = arnoldi_eig_batched(
+                    mv_b, V0, num=num, krylov_dim=krylov_dim, tol=tol,
+                    which="sr", max_restarts=40)
+                for lane, ik in enumerate(idxs):
+                    Es[ik, :] = Ws[lane] - prob.lam0
+                    Xs_out[ik] = (pk.unpack(Vlist[0][lane]) if num == 1
+                                  else [pk.unpack(Vm[lane])
+                                        for Vm in Vlist])
+                    handled.add(ik)
+                    if verbosity >= 1:
+                        print(f"[exc] k={momenta[ik]:.4f}"
+                              f"  E={Ws[lane] - prob.lam0}"
+                              f"  resid={info['resid'][lane]:.2e}"
+                              " (batched arnoldi)")
+            elif num == 1:
                 ths, Vv, info = lanczos_ground_batched(
                     mv_b, V0, krylov_dim=krylov_dim, tol=tol,
                     max_restarts=40)

@@ -621,3 +621,145 @@ def arnoldi_eig(matvec: Callable[[jnp.ndarray], jnp.ndarray],
         vs = vs_out
     return np.asarray(ws), vs, {"resid": float(last_resid),
                                 "iters": total_iters}
+
+
+def _arnoldi_factorization_batched(mv_b, v: jnp.ndarray, k: int):
+    """k-step Arnoldi factorizations of K independent operators at once.
+
+    ``v``: normalized [K, n] start batch; ``mv_b`` maps [K, n] -> [K, n]
+    applying lane k's operator to row k.  Same fully-reorthogonalized
+    recurrence as :func:`_arnoldi_factorization`, vectorized over the lane
+    axis (one batched matvec per step).  A lane that breaks down gets zero
+    basis vectors from that step on (its Hessenberg subdiagonal records the
+    ~0 norm, which the caller uses to find the effective length).  Returns
+    ``(V [k+1, K, n] device, H [K, k+1, k] host)``.
+    """
+    K, n = v.shape
+    V = jnp.zeros((k + 1, K, n), v.dtype).at[0].set(v)
+    cols = []
+    for j in range(k):
+        w = mv_b(V[j])
+        h1 = jnp.einsum("jkn,kn->jk", jnp.conj(V), w)
+        w = w - jnp.einsum("jkn,jk->kn", V, h1)
+        h2 = jnp.einsum("jkn,kn->jk", jnp.conj(V), w)
+        w = w - jnp.einsum("jkn,jk->kn", V, h2)
+        hb = jnp.linalg.norm(w, axis=1)
+        ok = (hb > 1e-300)[:, None]
+        V = V.at[j + 1].set(
+            jnp.where(ok, w / jnp.maximum(hb, 1e-300)[:, None], 0.0))
+        cols.append((h1 + h2, hb))
+    H = np.zeros((K, k + 1, k), dtype=np.complex128)
+    for j, (h, hb) in enumerate(cols):
+        # host gather per column (numpy: see lanczos_ground's note on XLA
+        # CPU's eager concatenate family)
+        hh = np.asarray(h).T                       # [K, k+1]
+        H[:, :j + 1, j] = hh[:, :j + 1]
+        H[:, j + 1, j] = np.asarray(hb)
+    return V, H
+
+
+def arnoldi_eig_batched(matvec_b: Callable[[jnp.ndarray], jnp.ndarray],
+                        V0: jnp.ndarray, num: int = 1, krylov_dim: int = 30,
+                        tol: float = 1e-6, which: str = "sr",
+                        max_restarts: int = 60
+                        ) -> Tuple[np.ndarray, list, dict]:
+    """Momentum-batched counterpart of :func:`arnoldi_eig`: ``num``
+    eigenpairs of K independent general operators, one batched Arnoldi
+    factorization driving every lane per restart.  Lanes converge
+    independently (a converged lane's Ritz pair is frozen while the rest
+    keep restarting); the per-state orthogonal deflation and the final
+    Schur-vector -> eigenvector transform mirror the serial path per lane.
+
+    Returns ``(ws [K, num], [v_m [K, n] for m in range(num)],
+    {"resid": [K], "iters": int})``.
+    """
+    if which not in _ARNOLDI_ORDER:
+        raise ValueError(f"which must be one of {sorted(_ARNOLDI_ORDER)}")
+    key = _ARNOLDI_ORDER[which]
+    k = krylov_dim
+    K, n = V0.shape
+    rng = np.random.default_rng(11)
+    ws_all = np.zeros((K, num), dtype=np.complex128)
+    locked: list = []
+    total_iters = 0
+    last_resid = np.full(K, np.inf)
+    for m in range(num):
+        basis = jnp.stack(locked, axis=1) if locked else None  # [K, m, n]
+
+        def project(X, _basis=basis):
+            if _basis is None:
+                return X
+            c = jnp.einsum("kmn,kn->km", jnp.conj(_basis), X)
+            return X - jnp.einsum("kmn,km->kn", _basis, c)
+
+        def mv_defl(X, _project=project):
+            return _project(matvec_b(_project(X)))
+
+        if m == 0:
+            v = V0
+        else:
+            vr = rng.standard_normal((K, n))
+            if jnp.iscomplexobj(V0):
+                vr = vr + 1j * rng.standard_normal((K, n))
+            v = jnp.asarray(vr, dtype=V0.dtype)
+        v = project(v)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        done = np.zeros(K, dtype=bool)
+        w_cur = np.zeros(K, dtype=np.complex128)
+        last_resid = np.full(K, np.inf)
+        for _ in range(max_restarts):
+            V, Hh = _arnoldi_factorization_batched(mv_defl, v, k)
+            yfull = np.zeros((K, k + 1), dtype=np.complex128)
+            for lane in range(K):
+                if done[lane]:
+                    continue
+                Hl = Hh[lane]
+                keff = k
+                for j in range(k - 1):
+                    if abs(Hl[j + 1, j]) < 1e-14:
+                        keff = j + 1
+                        break
+                w_l, y_l = np.linalg.eig(Hl[:keff, :keff])
+                order = np.argsort(key(w_l))
+                w_cur[lane] = w_l[order[0]]
+                y = y_l[:, order[0]]
+                y = y / np.linalg.norm(y)
+                last_resid[lane] = abs(Hl[keff, keff - 1]) * abs(y[keff - 1])
+                yfull[lane, :keff] = y
+                total_iters += keff
+            if not jnp.iscomplexobj(v):
+                yfull = np.real(yfull)
+            v_new = jnp.einsum("jkn,kj->kn", V,
+                               jnp.asarray(yfull, dtype=v.dtype))
+            v_new = project(v_new)
+            nrm = jnp.linalg.norm(v_new, axis=1, keepdims=True)
+            v_new = v_new / jnp.maximum(nrm, 1e-300)
+            v = jnp.where(jnp.asarray(done)[:, None], v, v_new)
+            done = done | (last_resid < tol)
+            if done.all():
+                break
+        ws_all[:, m] = w_cur
+        locked.append(v)
+    if num > 1:
+        # per lane: orthogonal deflation of a non-normal operator converges
+        # SCHUR vectors; transform through T = Q^H A Q to genuine eigenpairs
+        # (see arnoldi_eig)
+        Aq = [matvec_b(q) for q in locked]
+        T = np.zeros((K, num, num), dtype=np.complex128)
+        for i in range(num):
+            for j in range(num):
+                T[:, i, j] = np.asarray(
+                    jnp.einsum("kn,kn->k", jnp.conj(locked[i]), Aq[j]))
+        Q = jnp.stack(locked, axis=1)                       # [K, num, n]
+        vs_out = [jnp.zeros_like(locked[0]) for _ in range(num)]
+        for lane in range(K):
+            w_l, Y = np.linalg.eig(T[lane])
+            order = np.argsort(key(w_l))
+            ws_all[lane, :] = w_l[order]
+            for s, idx in enumerate(order):
+                y = jnp.asarray(Y[:, idx], dtype=V0.dtype)
+                vl = jnp.einsum("mn,m->n", Q[lane], y)
+                vs_out[s] = vs_out[s].at[lane].set(
+                    vl / jnp.linalg.norm(vl))
+        locked = vs_out
+    return ws_all, locked, {"resid": last_resid, "iters": total_iters}

@@ -197,3 +197,60 @@ def test_lanczos_ground_batched_matches_serial():
         w, _, _ = lanczos_ground(lambda x, _A=A[k]: _A @ x, V0[k],
                                  krylov_dim=10, tol=1e-11, max_restarts=80)
         assert abs(th_b[k] - w) < 1e-9
+
+
+def test_arnoldi_eig_batched_matches_serial():
+    """Batched restarted Arnoldi: per-lane smallest-real-part eigenpairs of
+    K independent NON-Hermitian operators agree with the serial solver and
+    with dense eig, and the returned vectors are genuine eigenvectors."""
+    from hubbardtn_tpu.solvers.krylov import arnoldi_eig, arnoldi_eig_batched
+    rng = np.random.default_rng(21)
+    K, n = 3, 24
+    As = [rng.standard_normal((n, n)) + 0.2j * rng.standard_normal((n, n))
+          for _ in range(K)]
+    A = jnp.asarray(np.stack(As))
+    V0 = jnp.asarray(rng.standard_normal((K, n))
+                     + 1j * rng.standard_normal((K, n)))
+
+    def mv_b(V):
+        return jnp.einsum("kij,kj->ki", A, V)
+
+    ws_b, vs_b, info = arnoldi_eig_batched(mv_b, V0, num=1, krylov_dim=14,
+                                           tol=1e-10, which="sr",
+                                           max_restarts=100)
+    for k in range(K):
+        exact = np.linalg.eigvals(As[k])
+        lo = exact[np.argmin(np.real(exact))]
+        assert abs(ws_b[k, 0] - lo) < 1e-7, k
+        ws_s, _, _ = arnoldi_eig(lambda x, _A=As[k]: jnp.asarray(_A) @ x,
+                                 V0[k], num=1, krylov_dim=14, tol=1e-10,
+                                 which="sr", max_restarts=100)
+        assert abs(ws_b[k, 0] - ws_s[0]) < 1e-7, k
+        v = np.asarray(vs_b[0][k])
+        r = As[k] @ v - complex(ws_b[k, 0]) * v
+        assert np.linalg.norm(r) < 1e-6, k
+
+
+def test_arnoldi_eig_batched_num2_deflation():
+    """num=2 batched: the two smallest-real-part eigenvalues per lane come
+    out of the Schur->eigenvector transform as genuine eigenpairs."""
+    from hubbardtn_tpu.solvers.krylov import arnoldi_eig_batched
+    rng = np.random.default_rng(5)
+    K, n = 3, 20
+    As = [rng.standard_normal((n, n)) + 0.1j * rng.standard_normal((n, n))
+          for _ in range(K)]
+    A = jnp.asarray(np.stack(As))
+    V0 = jnp.asarray(rng.standard_normal((K, n))
+                     + 1j * rng.standard_normal((K, n)))
+    ws, vs, _ = arnoldi_eig_batched(
+        lambda V: jnp.einsum("kij,kj->ki", A, V), V0, num=2, krylov_dim=12,
+        tol=1e-10, which="sr", max_restarts=120)
+    for k in range(K):
+        exact = np.linalg.eigvals(As[k])
+        lo2 = exact[np.argsort(np.real(exact))[:2]]
+        np.testing.assert_allclose(np.sort(np.real(ws[k])),
+                                   np.sort(np.real(lo2)), atol=1e-6)
+        for s in range(2):
+            v = np.asarray(vs[s][k])
+            r = As[k] @ v - complex(ws[k, s]) * v
+            assert np.linalg.norm(r) < 1e-5, (k, s)

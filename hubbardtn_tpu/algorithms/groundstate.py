@@ -136,8 +136,9 @@ def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
     if algorithm == "auto":
         algorithm = "idmrg2" if psi.T > 1 else "vumps"
     if algorithm == "idmrg2":
-        trunc = Truncation(cutoff=cutoff,
-                           max_dim=max_bond * psi.T if max_bond else None)
+        # Truncation.max_dim caps each bond's spectrum (svd_cut truncates
+        # per bond), so the per-bond budget is max_bond itself
+        trunc = Truncation(cutoff=cutoff, max_dim=max_bond)
         res0 = idmrg2(psi, H, trunc, tol=max(tol, cutoff * 1e-2),
                       maxiter=max_rounds * 6, adapt_every=3,
                       verbosity=max(0, verbosity - 1))

@@ -55,9 +55,36 @@ class _DictHAC2Plan:
                 and self.packer == other.packer)
 
 
+class _PackedHAC2Plan:
+    """Channel-packed two-site matvec: each site's FSM channels ride ONE
+    channel leg (mpo/channel_pack.py), so the a -> c -> b path sum of
+    apply_H_AC2 collapses from one GEMM chain per (path, block) into a
+    handful of large tensordots — the same packing that feeds the VUMPS
+    batched kernels, applied to the IDMRG2 inner solves."""
+
+    __slots__ = ("packer",)
+
+    def __init__(self, packer: Packer):
+        self.packer = packer
+
+    def matvec(self, v, GL3, W04, W14, GR3):
+        return self.packer.pack(apply_H_AC2(
+            {0: GL3}, {(0, 0): W04}, {(0, 0): W14}, {0: GR3},
+            self.packer.unpack(v)))
+
+    def __hash__(self):
+        return hash(("packedHAC2", self.packer))
+
+    def __eq__(self, other):
+        return (isinstance(other, _PackedHAC2Plan)
+                and self.packer == other.packer)
+
+
 def _sweep(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
-           tol: float, krylov_dim: int):
-    """One left-to-right two-site sweep at fixed bond spaces."""
+           tol: float, krylov_dim: int, pm=None):
+    """One left-to-right two-site sweep at fixed bond spaces.  ``pm``
+    (a :class:`~..mpo.channel_pack.PackedMPO`, abelian backends) routes the
+    inner eigensolves through the channel-packed matvec."""
     T = psi.T
     ALs = list(psi.ALs)
     ARs = list(psi.ARs)
@@ -71,8 +98,15 @@ def _sweep(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         GRx1 = envs.GRs[x1]
         W0, W1 = H.Ws[x], H.Ws[x1]
 
+        if pm is not None:
+            ops = (pm.pack_env_left(GL, x), pm.Ws[x], pm.Ws[x1],
+                   pm.pack_env_right(GRx1, (x1 + 1) % T))
+            plan = _PackedHAC2Plan(pk)
+        else:
+            ops = (GL, W0, W1, GRx1)
+            plan = _DictHAC2Plan(pk)
         _, v2, _ = lanczos_ground_plan(
-            _DictHAC2Plan(pk), (GL, W0, W1, GRx1), pk.pack(AC2),
+            plan, ops, pk.pack(AC2),
             krylov_dim=krylov_dim, tol=tol, max_restarts=20)
         AC2n = pk.unpack(v2)
         # project onto the existing bond-x sector structure
@@ -102,8 +136,16 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
     err = np.inf
     converged = False
     prev_dims = sum(psi.bond_dims())
+    # channel-pack the MPO once (abelian 2-leg backends; the SU(2) W ops
+    # already carry explicit channel legs and run the 4-leg dict branch)
+    import os as _os
+    pm = None
+    if (_os.environ.get("HTN_NO_BATCHED", "") != "1"
+            and all(op.ndim == 2 for W in H.Ws for op in W.values())):
+        from ..mpo.channel_pack import PackedMPO
+        pm = PackedMPO(H)
     for it in range(maxiter):
-        psi = _sweep(psi, H, envs, max(tol * 1e-2, 1e-12), krylov_dim)
+        psi = _sweep(psi, H, envs, max(tol * 1e-2, 1e-12), krylov_dim, pm=pm)
         envs = Environments(psi, H, tol=1e-12)
         adapted = False
         if adapt_every and (it + 1) % adapt_every == 0:

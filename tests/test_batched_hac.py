@@ -97,3 +97,23 @@ def test_bucketed_batched_matvec_grand_site():
     for k, b in AC.blocks.items():
         np.testing.assert_allclose(np.asarray(b), np.asarray(back.blocks[k]),
                                    atol=1e-14)
+
+
+def test_packed_hac2_matches_dict():
+    """IDMRG2's channel-packed two-site matvec == the per-path dict loop."""
+    from hubbardtn_tpu.algorithms.idmrg import _DictHAC2Plan, _PackedHAC2Plan
+    from hubbardtn_tpu.solvers.krylov import full_blocks
+    H, g, Vl, Vr, GL, _GR1, AC = _setup()
+    # two-site block at sites (0, 1): GR channels live on bond (1+1) % T = 0
+    GR = {b: SymTensor.random(g, (Vr, Vr), (IN, OUT), charge=g.dual(qb),
+                              seed=200 + b)
+          for b, qb in enumerate(H.charges[0])}
+    AC2 = SymTensor.random(g, (Vl, H.site.space, H.site.space, Vr),
+                           (IN, OUT, OUT, OUT), seed=9)
+    pk = Packer(full_blocks(AC2))
+    v = pk.pack(full_blocks(AC2))
+    a = _DictHAC2Plan(pk).matvec(v, GL, H.Ws[0], H.Ws[1], GR)
+    pm = PackedMPO(H)
+    b = _PackedHAC2Plan(pk).matvec(v, pm.pack_env_left(GL, 0), pm.Ws[0],
+                                   pm.Ws[1], pm.pack_env_right(GR, 0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)

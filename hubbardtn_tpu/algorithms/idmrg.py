@@ -136,14 +136,19 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
     err = np.inf
     converged = False
     prev_dims = sum(psi.bond_dims())
-    # channel-pack the MPO once (abelian 2-leg backends; the SU(2) W ops
-    # already carry explicit channel legs and run the 4-leg dict branch)
+    # channel-pack the MPO once: abelian 2-leg ops get the abelian packing,
+    # SU(2) 4-leg ops stack equal-charge channels (mpo/su2_pack.py); both
+    # feed the same packed plan through tensor-type dispatch
     import os as _os
     pm = None
-    if (_os.environ.get("HTN_NO_BATCHED", "") != "1"
-            and all(op.ndim == 2 for W in H.Ws for op in W.values())):
-        from ..mpo.channel_pack import PackedMPO
-        pm = PackedMPO(H)
+    if _os.environ.get("HTN_NO_BATCHED", "") != "1":
+        if all(op.ndim == 2 for W in H.Ws for op in W.values()):
+            from ..mpo.channel_pack import PackedMPO
+            pm = PackedMPO(H)
+        elif (_os.environ.get("HTN_NO_SU2_PACK", "") != "1"
+              and all(op.ndim == 4 for W in H.Ws for op in W.values())):
+            from ..mpo.su2_pack import PackedMPOSU2
+            pm = PackedMPOSU2(H)
     for it in range(maxiter):
         psi = _sweep(psi, H, envs, max(tol * 1e-2, 1e-12), krylov_dim, pm=pm)
         envs = Environments(psi, H, tol=1e-12)

@@ -84,3 +84,27 @@ def test_su2_vumps_batched_equals_dict(monkeypatch):
     monkeypatch.delenv("HTN_NO_SU2_PACK")
     e_packed = vumps(psi, H, tol=1e-10, maxiter=3).energy
     assert abs(e_dict - e_packed) < 1e-9
+
+
+def test_packed_hac2_su2_matches_dict():
+    """IDMRG2's channel-packed two-site matvec on the SU(2) backend == the
+    per-path dict loop (same _PackedHAC2Plan via tensor-type dispatch)."""
+    from hubbardtn_tpu.algorithms.idmrg import _DictHAC2Plan, _PackedHAC2Plan
+    from hubbardtn_tpu.solvers.krylov import Packer
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True)
+    H, psi, GL, _GR1 = _setup(sim)
+    g = H.site.group
+    Vl, Vr = psi.ALs[0].spaces[0], psi.ALs[0].spaces[2]
+    # two-site block at sites (0, 1): GR channels live on bond (1+1) % T = 0
+    GR = {b: FusionTensor.random(g, (Vr, Vr, channel_space(g, qb)),
+                                 (IN, OUT, OUT), seed=70 + b)
+          for b, qb in enumerate(H.charges[0])}
+    P = H.site.space
+    AC2 = FusionTensor.random(g, (Vl, P, P, Vr), (IN, OUT, OUT, OUT), seed=3)
+    pk = Packer(full_blocks(AC2))
+    v = pk.pack(full_blocks(AC2))
+    a = _DictHAC2Plan(pk).matvec(v, GL, H.Ws[0], H.Ws[1], GR)
+    pm = PackedMPOSU2(H)
+    b = _PackedHAC2Plan(pk).matvec(v, pm.pack_env_left(GL, 0), pm.Ws[0],
+                                   pm.Ws[1], pm.pack_env_right(GR, 0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)

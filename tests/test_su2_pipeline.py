@@ -178,3 +178,22 @@ def test_su2_mpo_window_multiband():
     Wab = np.real(np.asarray(H_ab.to_dense_window(4)))
     np.testing.assert_allclose(K @ Wab @ K.T, su2_dense_window(H_su, 4),
                                atol=1e-9)
+
+
+@pytest.mark.slow
+def test_su2_driver_composition_idmrg2():
+    """The composite driver's IDMRG2 stage (unit cells > 1, reference
+    :1009-1010) through the SU(2) backend with channel-packed two-site
+    solves: the P=4/Q=2 full-band insulator reaches the exact E = u."""
+    from hubbardtn_tpu.algorithms.groundstate import find_groundstate
+    from hubbardtn_tpu.mps.imps import initialize_mps
+
+    sim = OBSim(t=(1.0,), u=(4.0,), P=4, Q=2, su2=True, bond_dim=3)
+    H = hamiltonian(sim)
+    assert sim.T == 2
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=3,
+                         seed=1)
+    res = find_groundstate(psi, H, svalue=1.5, tol=1e-8, max_rounds=1,
+                           final_iters=40, grassmann_iters=0,
+                           algorithm="auto")  # auto -> idmrg2 for T=2
+    assert abs(res.energy - 4.0) < 1e-7

@@ -151,7 +151,9 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
             pm = PackedMPOSU2(H)
     for it in range(maxiter):
         psi = _sweep(psi, H, envs, max(tol * 1e-2, 1e-12), krylov_dim, pm=pm)
-        envs = Environments(psi, H, tol=1e-12)
+        # within-sweep block structure is fixed: the previous sweep's
+        # boundary environments warm-start the GMRES geometric sums
+        envs = Environments(psi, H, tol=1e-12, prev=envs)
         adapted = False
         if adapt_every and (it + 1) % adapt_every == 0:
             psi_t = svd_cut(psi, trscheme)

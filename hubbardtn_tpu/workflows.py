@@ -116,10 +116,13 @@ def produce_excitations(sim, momenta, nums: int = 1, force: bool = False,
                                     datadir=datadir)
             psi = tr["psi_trunc"]
             envs = Environments(psi, H, tol=1e-12)
-        Es, _Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
-                               tol=solver_tol, krylov_dim=krylov_dim,
-                               verbosity=verbosity, solver=solver)
-        return {"Es": Es, "momenta": momenta, "sector": sector}
+        Es, Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
+                              tol=solver_tol, krylov_dim=krylov_dim,
+                              verbosity=verbosity, solver=solver)
+        # the reference caches the quasiparticle states too ("qps",
+        # :1211): X parameter lists, one per momentum (a list of nums
+        # lists when nums > 1)
+        return {"Es": Es, "qps": Xs, "momenta": momenta, "sector": sector}
 
     prefix = f"exc_{'_'.join(f'{c}' for c in charges)}"
     return produce_or_load(compute, sim, prefix, extra, force=force,
@@ -146,11 +149,12 @@ def produce_domainwalls(sim, momenta, nums: int = 1, force: bool = False,
         gs = produce_groundstate(sim, force=False, datadir=datadir, **gs_kwargs)
         psi, H, envs = gs["groundstate"], gs["ham"], gs["environments"]
         psi_s = circshift_mps(psi, s)
-        Es, _Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
-                               tol=solver_tol, krylov_dim=krylov_dim,
-                               verbosity=verbosity, psi_right=psi_s,
-                               solver=solver)
-        return {"Es": Es, "momenta": momenta, "sector": sector, "shift": s}
+        Es, Xs = _excitations(psi, H, envs, momenta, sector, num=nums,
+                              tol=solver_tol, krylov_dim=krylov_dim,
+                              verbosity=verbosity, psi_right=psi_s,
+                              solver=solver)
+        return {"Es": Es, "qps": Xs, "momenta": momenta, "sector": sector,
+                "shift": s}
 
     prefix = f"dw_{'_'.join(f'{c}' for c in charges)}"
     return produce_or_load(compute, sim, prefix, extra, force=force,

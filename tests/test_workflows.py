@@ -71,10 +71,17 @@ def test_produce_excitations_exact_insulator(tmp_path):
     E = np.real(out["Es"]).ravel()
     np.testing.assert_allclose(E, 2 * np.cos(ks) - 4.0, atol=1e-6)
     np.testing.assert_allclose(np.imag(out["Es"]).ravel(), 0.0, atol=1e-8)
-    # second call is a pure cache load
+    # the quasiparticle states are cached too (reference "qps", :1211)
+    assert len(out["qps"]) == len(ks)
+    assert all(x is not None for x in out["qps"])
+    # second call is a pure cache load, qps round-trip through pickle
     out2 = wf.produce_excitations(sim, ks, nums=1, charges=(1, 0.5, -1),
                                   datadir=str(tmp_path), **FAST)
     np.testing.assert_allclose(np.real(out2["Es"]).ravel(), E, atol=1e-14)
+    x0, x0_cached = out["qps"][0][0], out2["qps"][0][0]
+    for k in x0.blocks:
+        np.testing.assert_allclose(np.asarray(x0_cached.blocks[k]),
+                                   np.asarray(x0.blocks[k]), atol=0)
 
 
 def test_produce_domainwalls_smoke(tmp_path):

@@ -615,8 +615,16 @@ def main():
     deadline = time.time() + wait_s
     while True:
         if _tpu_ready():
-            _run_live()
-            return
+            try:
+                _run_live()
+                return
+            except Exception:
+                # tunnel died mid-bench (probe passed, run failed): fall
+                # through to the stale-cache emission rather than exiting
+                # without the JSON line
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                break
         if time.time() >= deadline:
             break
         print("# waiting 120s for the TPU tunnel...", file=sys.stderr)

@@ -542,8 +542,8 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 krylov_dim: int = 30, tol: float = 1e-6, verbosity: int = 0,
                 psi_right: Optional[UniformMPS] = None,
                 solver: str = "lanczos",
-                batch_momenta: Optional[bool] = None
-                ) -> Tuple[np.ndarray, list]:
+                batch_momenta: Optional[bool] = None,
+                batch_lanes: int = 8) -> Tuple[np.ndarray, list]:
     """Lowest ``num`` excitation energies at each momentum (phase per unit
     cell = e^{i k}).  Returns (Es[len(momenta), num], X parameter lists).
     Pass ``psi_right`` (e.g. a circshifted ground state) for topological /
@@ -562,7 +562,9 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
     deflation as the serial path, with the momentum batch inside each
     state's restarted solve).  Lanes converge independently; the results
     are identical to the serial path up to eigensolver tolerance
-    (equality-tested)."""
+    (equality-tested).  ``batch_lanes`` caps momenta per dispatch (the
+    batched GMRES holds a Krylov basis per lane, so device memory grows
+    linearly with the batch); longer scans run as equal-width chunks."""
     if solver not in ("lanczos", "arnoldi"):
         raise ValueError(f"unknown solver {solver!r}")
     prob = QuasiparticleProblem(psi, H, envs, sector, psi_right=psi_right)
@@ -593,12 +595,24 @@ def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
         for ik, ph in enumerate(phases):
             groups.setdefault(_project(ph), []).append(ik)
         gmres_tol = max(tol * 1e-2, 1e-10)
+        chunks = []
         for project, idxs in groups.items():
             if len(idxs) < 2:
                 continue   # a single lane runs the serial path below
-            ph_arr = jnp.asarray([phases[i] for i in idxs],
+            # cap lanes per dispatch: the batched GMRES keeps a Krylov
+            # basis per lane, so memory grows linearly with the batch —
+            # long scans run as a few full-width chunks (ragged tails are
+            # padded by repeating a lane, reusing the compiled programs)
+            for s in range(0, len(idxs), batch_lanes):
+                chunks.append((project, idxs[s:s + batch_lanes],
+                               len(idxs) > batch_lanes))
+        for project, chunk, padded_scan in chunks:
+            idxs = chunk
+            pad = batch_lanes - len(chunk) if padded_scan else 0
+            lanes = list(chunk) + [chunk[-1]] * max(0, pad)
+            ph_arr = jnp.asarray([phases[i] for i in lanes],
                                  dtype=jnp.complex128)
-            V0 = jnp.asarray(np.stack([_v0(i) for i in idxs]),
+            V0 = jnp.asarray(np.stack([_v0(i) for i in lanes]),
                              dtype=jnp.complex128)
 
             def mv_b(Vb, _ph=ph_arr, _project=project):

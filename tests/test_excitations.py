@@ -175,6 +175,21 @@ def test_batched_momenta_equals_serial():
 
 
 @pytest.mark.slow
+def test_batched_momenta_chunking_equals_serial():
+    """Scans longer than batch_lanes split into equal-width chunks (the
+    ragged tail padded by a repeated lane); results match the serial path
+    and the exact dispersion."""
+    sim, H, res = _solve(2, 1)
+    ks = np.linspace(0.1, np.pi, 5)
+    Es_b, Xb = excitations(res.psi, H, res.envs, ks, sector=(1, 1, -1),
+                           num=1, tol=1e-8, batch_momenta=True,
+                           batch_lanes=2)
+    np.testing.assert_allclose(np.real(Es_b).ravel(), 2 * np.cos(ks) - 4.0,
+                               atol=1e-6)
+    assert all(x is not None for x in Xb)
+
+
+@pytest.mark.slow
 def test_batched_momenta_num2_equals_serial():
     """num=2 through the momentum-batched deflated solver: both folded
     insulator branches exact, equal to the serial deflation per momentum."""

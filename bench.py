@@ -185,7 +185,7 @@ class SweepBench:
             opsL = (astL, regL.layout.pack_transposed(rho),
                     regL.layout.pack(I0L), tr)
             rhs = regL.layout.pack(CF) - e * opsL[2]
-            y, _ = _gmres_restart_core(
+            y, _, _ = _gmres_restart_core(
                 lambda v: regL.matvec(v, *opsL), jnp.zeros_like(rhs), rhs, 30)
             GL0 = dict(GL0)
             GL0[fin] = regL.layout.unpack(y, tmpl_CF)
@@ -199,7 +199,7 @@ class SweepBench:
             opsR = (astR, regR.layout.pack_transposed(sig),
                     regR.layout.pack(I0R), trs)
             rhsr = regR.layout.pack(CI) - er * opsR[2]
-            yr, _ = _gmres_restart_core(
+            yr, _, _ = _gmres_restart_core(
                 lambda v: regR.matvec(v, *opsR), jnp.zeros_like(rhsr),
                 rhsr, 30)
             GR0 = dict(GR0)

@@ -351,6 +351,7 @@ class SU2EnvEngine:
         g = psi.group
         dtype = psi.ALs[0].dtype
         self.T, self.group, self.dtype = T, g, dtype
+        self._rdt = jnp.real(jnp.zeros((), dtype)).dtype
         pm2 = PackedMPOSU2(H)
         self.pm2 = pm2
         self.cmaps = pm2.maps
@@ -465,10 +466,12 @@ class SU2EnvEngine:
                                     rho_arrays) / tr
             return v - ty + corr * self.i0xL
 
-        def gmresL(x0, rhs, a_ab, rho_arrays, tr):
+        def gmresL(x0, rhs, a_ab, rho_arrays, tr, atol):
             from ..solvers.krylov import _gmres_restart_core
-            return _gmres_restart_core(
-                lambda v: regL_mv(v, a_ab, rho_arrays, tr), x0, rhs, 30)
+            x, resid, _ = _gmres_restart_core(
+                lambda v: regL_mv(v, a_ab, rho_arrays, tr), x0, rhs, 30,
+                atol=atol)
+            return x, resid
 
         def finalize_left(cur, y, a_ab):
             GL0 = self.bridgeFL.inject(cur, self.xlayL[0].unflatten(y))
@@ -509,10 +512,12 @@ class SU2EnvEngine:
                                     sig_arrays) / tr
             return v - ty + corr * self.i0xR
 
-        def gmresR(x0, rhs, a_ab, sig_arrays, tr):
+        def gmresR(x0, rhs, a_ab, sig_arrays, tr, atol):
             from ..solvers.krylov import _gmres_restart_core
-            return _gmres_restart_core(
-                lambda v: regR_mv(v, a_ab, sig_arrays, tr), x0, rhs, 30)
+            x, resid, _ = _gmres_restart_core(
+                lambda v: regR_mv(v, a_ab, sig_arrays, tr), x0, rhs, 30,
+                atol=atol)
+            return x, resid
 
         def finalize_right(cur, y, a_ab):
             GR0 = self.bridge0R.inject(cur, self.xlayR[T - 1].unflatten(y))
@@ -526,23 +531,27 @@ class SU2EnvEngine:
                                  (IN, OUT, OUT), self.dtype)
                 for x in range(T)]
 
-        def refresh_left(a_ab, rho_arrays, x0):
-            """Whole left refresh (presweep + ONE 30-step GMRES restart +
-            fills + dict unpack) as a single program: over the TPU tunnel,
-            host-sequenced sub-stage dispatches cost far more than the
-            compute (65.8 -> ~10 ms at dense chi~2874, bench round 2)."""
+        def refresh_left(a_ab, rho_arrays, x0, tol_s):
+            """Whole left refresh (presweep + ONE early-exiting <=30-step
+            GMRES restart + fills + dict unpack) as a single program: over
+            the TPU tunnel, host-sequenced sub-stage dispatches cost far
+            more than the compute (65.8 -> ~10 ms at dense chi~2874, bench
+            round 2); warm-started steady-state solves exit the device
+            GMRES loop after a few matvecs."""
             cur, rhs, e, tr = sweep_left(a_ab, rho_arrays)
             from ..solvers.krylov import _gmres_restart_core
-            y, resid = _gmres_restart_core(
-                lambda v: regL_mv(v, a_ab, rho_arrays, tr), x0, rhs, 30)
+            y, resid, _ = _gmres_restart_core(
+                lambda v: regL_mv(v, a_ab, rho_arrays, tr), x0, rhs, 30,
+                atol=tol_s * jnp.linalg.norm(rhs))
             GLs = finalize_left(cur, y, a_ab)
             return GLs, e, y, resid, rhs, cur, tr
 
-        def refresh_right(a_ab, sig_arrays, x0):
+        def refresh_right(a_ab, sig_arrays, x0, tol_s):
             cur, rhs, e, tr = sweep_right(a_ab, sig_arrays)
             from ..solvers.krylov import _gmres_restart_core
-            y, resid = _gmres_restart_core(
-                lambda v: regR_mv(v, a_ab, sig_arrays, tr), x0, rhs, 30)
+            y, resid, _ = _gmres_restart_core(
+                lambda v: regR_mv(v, a_ab, sig_arrays, tr), x0, rhs, 30,
+                atol=tol_s * jnp.linalg.norm(rhs))
             GRs = finalize_right(cur, y, a_ab)
             return GRs, e, y, resid, rhs, cur, tr
 
@@ -567,12 +576,13 @@ class SU2EnvEngine:
               and gl_final0.spaces[:2] == (self.VL[0], self.VL[0])
               else jnp.zeros((self.xlayL[0].total,), dtype=self.dtype))
         GLs, e, x, resid, rhs, cur, tr = self._refresh_left(
-            a_ab, rho_arrays, x0)
+            a_ab, rho_arrays, x0, jnp.asarray(tol, self._rdt))
         bnorm = float(jnp.linalg.norm(rhs))
         if bnorm > 0.0 and float(resid) / bnorm >= tol:
             # extra warm-started restarts until the host-checked tol holds
+            atol = jnp.asarray(tol * bnorm, self._rdt)
             for _ in range(19):
-                x, resid = self._gmresL(x, rhs, a_ab, rho_arrays, tr)
+                x, resid = self._gmresL(x, rhs, a_ab, rho_arrays, tr, atol)
                 if float(resid) / bnorm < tol:
                     break
             GLs = self._finalize_left(cur, x, a_ab)
@@ -589,11 +599,12 @@ class SU2EnvEngine:
               and gr_init0.spaces[:2] == (self.VR[T - 1], self.VR[T - 1])
               else jnp.zeros((self.xlayR[T - 1].total,), dtype=self.dtype))
         GRs, e, x, resid, rhs, cur, tr = self._refresh_right(
-            a_ab, sig_arrays, x0)
+            a_ab, sig_arrays, x0, jnp.asarray(tol, self._rdt))
         bnorm = float(jnp.linalg.norm(rhs))
         if bnorm > 0.0 and float(resid) / bnorm >= tol:
+            atol = jnp.asarray(tol * bnorm, self._rdt)
             for _ in range(19):
-                x, resid = self._gmresR(x, rhs, a_ab, sig_arrays, tr)
+                x, resid = self._gmresR(x, rhs, a_ab, sig_arrays, tr, atol)
                 if float(resid) / bnorm < tol:
                     break
             GRs = self._finalize_right(cur, x, a_ab)

@@ -47,19 +47,45 @@ def _bucket(d: int) -> int:
     return b
 
 
-def _ns_polar_stack(X: jnp.ndarray, iters: int) -> jnp.ndarray:
-    """Newton-Schulz polar factor of a (n, R, C) stack with R >= C."""
+# Quintic odd-polynomial step x -> ax + bx^3 + cx^5 with the minimax-style
+# coefficients popularized by accelerated Newton-Schulz orthogonalizers:
+# slope 3.44 at 0 lifts tiny singular values ~2.3x faster per step than the
+# cubic NS slope 1.5, while |f(x)| stays <= 1.21 on [0, 1] — inside the NS
+# convergence basin (0, sqrt(3)) — so a short plain-NS tail polishes the
+# spectrum to the fixed point quadratically.  The scalar map of the default
+# (10, 6) schedule DOMINATES 26 plain NS steps pointwise on [1e-8, 1] and
+# converges directions down to s ~ 1e-6 (26xNS only reaches ~1e-4) at 42
+# matmuls vs 52.
+_QUINTIC = (3.4445, -4.7750, 2.0315)
+
+
+def _norm_schedule(iters) -> Tuple[int, int]:
+    """(quintic_steps, ns_steps); a bare int means legacy pure-NS."""
+    return (0, int(iters)) if isinstance(iters, int) else tuple(iters)
+
+
+def _ns_polar_stack(X: jnp.ndarray, iters=(10, 6)) -> jnp.ndarray:
+    """Polar factor of a (n, R, C) stack with R >= C: quintic accelerated
+    Newton-Schulz steps followed by plain cubic NS polish steps."""
+    nq, nn = _norm_schedule(iters)
     # Higham scaling: ||X||_2 <= sqrt(||X||_1 ||X||_inf), per stack entry
     a1 = jnp.max(jnp.sum(jnp.abs(X), axis=1), axis=-1)   # max col sum
     ai = jnp.max(jnp.sum(jnp.abs(X), axis=2), axis=-1)   # max row sum
     s = jnp.sqrt(jnp.maximum(a1 * ai, 1e-60))
     U = X / s[:, None, None]
+    a, b, c = _QUINTIC
 
-    def body(_, U):
+    def quintic(_, U):
+        G = jnp.einsum("bij,bik->bjk", jnp.conj(U), U)
+        V = b * G + c * jnp.einsum("bij,bjk->bik", G, G)
+        return a * U + jnp.einsum("bij,bjk->bik", U, V)
+
+    def ns(_, U):
         G = jnp.einsum("bij,bik->bjk", jnp.conj(U), U)
         return 1.5 * U - 0.5 * jnp.einsum("bij,bjk->bik", U, G)
 
-    return lax.fori_loop(0, iters, body, U)
+    U = lax.fori_loop(0, nq, quintic, U)
+    return lax.fori_loop(0, nn, ns, U)
 
 
 def full_like_zero(t: SymTensor) -> SymTensor:
@@ -105,8 +131,8 @@ class PolarGaugePlan:
     SIDES = ("ac2", "cr", "ac1", "cl")
 
     def __init__(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor,
-                 iters: int = 26):
-        self.iters = iters
+                 iters=(10, 6)):
+        self.iters = _norm_schedule(iters)
         self.meta = {
             "ac2": _SideMeta(AC, 2, right=False),
             "cr": _SideMeta(Cr, 1, right=False),
@@ -127,7 +153,7 @@ class PolarGaugePlan:
                 self.classes[ck].append((side, r))
         self.class_keys = sorted(self.classes.keys())
         self._sig = (tuple((s, self.meta[s]._sig()) for s in self.SIDES),
-                     iters)
+                     self.iters)
 
     def __hash__(self):
         return hash(self._sig)

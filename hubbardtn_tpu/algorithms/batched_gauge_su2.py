@@ -34,7 +34,7 @@ from ..tensor.fusion import FusionTensor
 from ..tensor.fusion_linalg import (_left_factor, _pos_diag, _right_factor,
                                     matricize)
 from ..tensor.symtensor import tensordot
-from .batched_gauge import _bucket, _ns_polar_stack
+from .batched_gauge import _bucket, _norm_schedule, _ns_polar_stack
 
 
 def _full_zero(t: FusionTensor) -> FusionTensor:
@@ -77,8 +77,8 @@ class PolarGaugePlanSU2:
     SIDES = ("ac2", "cr", "ac1", "cl")
 
     def __init__(self, AC: FusionTensor, Cl: FusionTensor, Cr: FusionTensor,
-                 iters: int = 26):
-        self.iters = iters
+                 iters=(10, 6)):
+        self.iters = _norm_schedule(iters)
         self.meta = {
             "ac2": _SideMetaSU2(AC, 2, right=False),
             "cr": _SideMetaSU2(Cr, 1, right=False),
@@ -98,7 +98,7 @@ class PolarGaugePlanSU2:
                 self.classes[ck].append((side, r))
         self.class_keys = sorted(self.classes.keys())
         self._sig = (tuple((s, self.meta[s]._sig()) for s in self.SIDES),
-                     iters)
+                     self.iters)
 
     def __hash__(self):
         return hash(self._sig)

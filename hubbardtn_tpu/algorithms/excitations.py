@@ -258,18 +258,20 @@ class QuasiparticleProblem:
                 lambda t: phase * t, CBr))
             return rhs, rhs_r
 
-        def restartL(x, b, phase):
+        def restartL(x, b, phase, atol):
             def mv(v):
                 return _mixL_core(v, Ws, tuple(ARs), tuple(ALs),
                                   jnp.conj(phase), C0L, project=project,
                                   packer=lbp)
-            return _gmres_restart_core(mv, x, b, 30)
+            xn, resid, _ = _gmres_restart_core(mv, x, b, 30, atol=atol)
+            return xn, resid
 
-        def restartR(x, b, phase):
+        def restartR(x, b, phase, atol):
             def mv(v):
                 return _mixR_core(v, Ws, tuple(ALs), tuple(ARs), phase,
                                   C0R, fin=fin, project=project, packer=rbp)
-            return _gmres_restart_core(mv, x, b, 30)
+            xn, resid, _ = _gmres_restart_core(mv, x, b, 30, atol=atol)
+            return xn, resid
 
         def post(vecX, lb_vec, rb_vec):
             Xs = pk.unpack(vecX)
@@ -486,8 +488,9 @@ def apply_heff_packed(prob: QuasiparticleProblem, vecX: jnp.ndarray,
         if bnorm == 0.0:
             return jnp.zeros_like(b)
         x = jnp.zeros_like(b)
+        atol = jnp.asarray(gmres_tol * bnorm)
         for _ in range(max_restarts):
-            x, resid = restart(x, b, ph)
+            x, resid = restart(x, b, ph, atol)
             if float(resid) / bnorm < gmres_tol:
                 break
         return x
@@ -506,10 +509,11 @@ def _gmres_solve_batched(restart, B: jnp.ndarray, ph: jnp.ndarray,
     bnorm = np.asarray(jnp.linalg.norm(B, axis=1))
     X = jnp.zeros_like(B)
     done = bnorm == 0.0
+    atol = jnp.asarray(tol * bnorm)   # per-lane early-exit thresholds
     for _ in range(max_restarts):
         if done.all():
             break
-        Xn, resid = restart(X, B, ph)
+        Xn, resid = restart(X, B, ph, atol)
         keep = jnp.asarray(done)[:, None]
         X = jnp.where(keep, X, Xn)
         rel = np.asarray(resid) / np.maximum(bnorm, 1e-300)
@@ -530,10 +534,8 @@ def apply_heff_packed_batched(prob: QuasiparticleProblem, Vb: jnp.ndarray,
     pre_b, restartL_b, restartR_b, post_b = prob._programs_batched(project)
     ph = jnp.asarray(phases, dtype=jnp.complex128)
     rhs, rhs_r = pre_b(Vb, ph)
-    lb = _gmres_solve_batched(lambda X, B, p: restartL_b(X, B, p),
-                              rhs, ph, gmres_tol, max_restarts)
-    rb = _gmres_solve_batched(lambda X, B, p: restartR_b(X, B, p),
-                              rhs_r, ph, gmres_tol, max_restarts)
+    lb = _gmres_solve_batched(restartL_b, rhs, ph, gmres_tol, max_restarts)
+    rb = _gmres_solve_batched(restartR_b, rhs_r, ph, gmres_tol, max_restarts)
     return post_b(Vb, lb, rb)
 
 

@@ -200,7 +200,7 @@ def coupler(group, qa: Sector, c: Sector, qb: Sector) -> np.ndarray:
     M-axis of a charge-c operator (which transforms as a *bra* of rep c,
     so a plain sum against an OUT-leg ket index is the invariant pairing).
     Engine-canonical up to a scale absorbed by term calibration."""
-    key = (id(group), qa, c, qb)
+    key = (group, qa, c, qb)
     hit = _COUPLER_CACHE.get(key)
     if hit is not None:
         return hit

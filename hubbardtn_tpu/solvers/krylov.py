@@ -156,22 +156,34 @@ class TreePacker:
 from jax import lax
 
 
-def _lanczos_restart_core(mv, v, k: int):
-    """One k-step Lanczos restart with full reorthogonalization, entirely
-    on device: fori_loop recurrence, masked tridiagonal eigensolve (rows
-    after a breakdown get a +1e30 penalty so they never win), Ritz
-    refinement.  Returns (theta, v_new, resid)."""
+def _lanczos_restart_core(mv, v, k: int, atol=None):
+    """One Lanczos restart of up to k steps with full reorthogonalization,
+    entirely on device: while_loop recurrence that EXITS EARLY once the
+    off-diagonal beta drops below ``atol`` (the Krylov space is then
+    invariant to atol, so the Ritz residual |beta_j c_j| <= beta_j <= atol
+    is converged), masked tridiagonal eigensolve (rows never reached get a
+    +1e30 penalty so they never win), Ritz refinement.  With warm starts
+    near convergence this costs 1-2 matvecs instead of k.
+    Returns (theta, v_new, resid)."""
     n = v.shape[0]
     v = v / jnp.linalg.norm(v)
     V = jnp.zeros((k + 1, n), v.dtype).at[0].set(v)
     rdt = jnp.real(jnp.zeros((), v.dtype)).dtype
     alphas = jnp.zeros((k,), rdt)
     betas = jnp.zeros((k,), rdt)
+    atol_ = jnp.asarray(0.0 if atol is None else atol, rdt)
 
-    def body(j, carry):
-        V, alphas, betas = carry
+    def cond(carry):
+        j, V, alphas, betas = carry
+        # rows beyond a sub-atol beta never improve the Ritz pair
+        return (j < k) & ((j == 0) | (betas[jnp.maximum(j - 1, 0)] > atol_))
+
+    def body(carry):
+        j, V, alphas, betas = carry
         w = mv(V[j])
         a = jnp.real(jnp.vdot(V[j], w))
+        # unwritten rows of V are zero, so full-matrix reorthogonalization
+        # is exact under the dynamic step count
         c1 = jnp.conj(V) @ w
         w = w - V.T @ c1
         c2 = jnp.conj(V) @ w
@@ -179,11 +191,13 @@ def _lanczos_restart_core(mv, v, k: int):
         b = jnp.linalg.norm(w)
         V = V.at[j + 1].set(jnp.where(b > 1e-300,
                                       w / jnp.maximum(b, 1e-300), 0.0))
-        return V, alphas.at[j].set(a), betas.at[j].set(b)
+        return j + 1, V, alphas.at[j].set(a), betas.at[j].set(b)
 
-    V, alphas, betas = lax.fori_loop(0, k, body, (V, alphas, betas))
-    valid = jnp.concatenate([jnp.ones((1,), bool),
-                             jnp.cumprod(betas[:k - 1] > 1e-14) > 0])
+    j_end, V, alphas, betas = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), V, alphas, betas))
+    rows = jnp.arange(k)
+    valid = (rows < j_end) & jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.cumprod(betas[:k - 1] > 1e-14) > 0])
     alphas_m = jnp.where(valid, alphas, jnp.asarray(1e30, rdt))
     betas_m = jnp.where(valid[1:], betas[:k - 1], 0.0)
     Tm = (jnp.diag(alphas_m) + jnp.diag(betas_m, 1) + jnp.diag(betas_m, -1))
@@ -192,13 +206,15 @@ def _lanczos_restart_core(mv, v, k: int):
     c = evecs[:, 0]
     v_new = V[:k].T @ c.astype(V.dtype)
     v_new = v_new / jnp.linalg.norm(v_new)
-    resid = jnp.abs(betas[k - 1] * c[k - 1]) * jnp.all(valid)
-    return theta, v_new, resid
+    last = jnp.maximum(j_end - 1, 0)
+    resid = jnp.abs(betas[last] * c[last]) * (jnp.sum(valid) == j_end)
+    return theta, v_new, resid, j_end
 
 
 @partial(jax.jit, static_argnames=("plan", "k"))
-def _lanczos_restart_plan(v, ops, *, plan, k: int):
-    return _lanczos_restart_core(lambda x: plan.matvec(x, *ops), v, k)
+def _lanczos_restart_plan(v, ops, *, plan, k: int, atol=None):
+    return _lanczos_restart_core(lambda x: plan.matvec(x, *ops), v, k,
+                                 atol=atol)
 
 
 def lanczos_ground_plan(plan, ops: tuple, v0: jnp.ndarray,
@@ -207,34 +223,52 @@ def lanczos_ground_plan(plan, ops: tuple, v0: jnp.ndarray,
                         ) -> Tuple[float, jnp.ndarray, dict]:
     """Smallest eigenpair of the hashable ``plan``'s matvec (signature
     ``plan.matvec(v, *ops)``) with fully-jitted restarts: the host syncs
-    once per restart, on the scalar residual."""
+    once per restart, on the scalar residual; inside a restart the device
+    loop exits early once the recurrence closes below ``tol`` (warm starts
+    near convergence cost 1-2 matvecs instead of krylov_dim)."""
     v = v0
     theta = np.inf
     resid = np.inf
     iters = 0
+    atol = jnp.asarray(tol)
     for _ in range(max_restarts):
-        theta, v, resid = _lanczos_restart_plan(v, ops, plan=plan,
-                                                k=krylov_dim)
-        iters += krylov_dim
+        theta, v, resid, j = _lanczos_restart_plan(v, ops, plan=plan,
+                                                   k=krylov_dim, atol=atol)
+        iters += int(j)
         if float(resid) < tol:
             break
     return float(theta), v, {"resid": float(resid), "iters": iters}
 
 
-def _gmres_restart_core(mv, x, b, k: int):
-    """One k-step GMRES restart entirely on device: Arnoldi fori_loop with
-    full reorthogonalization, SVD-based least squares on the small
-    Hessenberg, solution update.  Returns (x_new, abs_resid)."""
+def _gmres_restart_core(mv, x, b, k: int, atol=None):
+    """One GMRES restart of up to k steps entirely on device: Arnoldi
+    while_loop with full reorthogonalization and Givens-rotation residual
+    tracking (|g[j]| IS the current residual norm), exiting early once it
+    drops below ``atol``; masked triangular solve for the update.  Warm
+    starts near the solution cost a few matvecs instead of k.
+    Returns (x_new, abs_resid)."""
     n = b.shape[0]
+    dt = b.dtype
+    rdt = jnp.real(jnp.zeros((), dt)).dtype
     r = b - mv(x)
     beta = jnp.linalg.norm(r)
-    V = jnp.zeros((k + 1, n), b.dtype).at[0].set(
+    V = jnp.zeros((k + 1, n), dt).at[0].set(
         jnp.where(beta > 1e-300, r / jnp.maximum(beta, 1e-300), 0.0))
-    H = jnp.zeros((k + 1, k), b.dtype)
+    R = jnp.zeros((k + 1, k), dt)          # Givens-rotated Hessenberg
+    g = jnp.zeros((k + 1,), dt).at[0].set(beta.astype(dt))
+    cs = jnp.zeros((k,), dt)               # rotation j: G = [[cs, sn],
+    sn = jnp.zeros((k,), dt)               #   [-conj(sn), conj(cs)]]
+    atol_ = jnp.asarray(0.0 if atol is None else atol, rdt)
 
-    def body(j, carry):
-        V, H = carry
+    def cond(carry):
+        j, V, R, g, cs, sn = carry
+        return (j < k) & (jnp.abs(g[j]) > atol_)
+
+    def body(carry):
+        j, V, R, g, cs, sn = carry
         w = mv(V[j])
+        # unwritten rows of V are zero: full-matrix reorthogonalization is
+        # exact under the dynamic step count
         h1 = jnp.conj(V) @ w
         w = w - V.T @ h1
         h2 = jnp.conj(V) @ w
@@ -242,36 +276,69 @@ def _gmres_restart_core(mv, x, b, k: int):
         hb = jnp.linalg.norm(w)
         V = V.at[j + 1].set(jnp.where(hb > 1e-300,
                                       w / jnp.maximum(hb, 1e-300), 0.0))
-        col = (h1 + h2).at[j + 1].set(hb.astype(b.dtype))
-        return V, H.at[:, j].set(col)
+        col = (h1 + h2).at[j + 1].set(hb.astype(dt))
 
-    V, H = lax.fori_loop(0, k, body, (V, H))
-    e1 = jnp.zeros((k + 1,), b.dtype).at[0].set(beta.astype(b.dtype))
-    y, _res, _rank, _sv = jnp.linalg.lstsq(H, e1)
+        def rot(i, col):
+            a, bb = col[i], col[i + 1]
+            return (col.at[i].set(cs[i] * a + sn[i] * bb)
+                    .at[i + 1].set(-jnp.conj(sn[i]) * a + jnp.conj(cs[i]) * bb))
+
+        col = lax.fori_loop(0, j, rot, col)
+        # new rotation zeroing col[j+1]: rows ((conj a, conj b), (-b, a))/d
+        a, bb = col[j], col[j + 1]
+        d = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(bb) ** 2)
+        safe = d > 1e-300
+        u = jnp.where(safe, jnp.conj(a) / jnp.maximum(d, 1e-300),
+                      jnp.ones((), dt))
+        v = jnp.where(safe, jnp.conj(bb) / jnp.maximum(d, 1e-300),
+                      jnp.zeros((), dt))
+        col = col.at[j].set(d.astype(dt)).at[j + 1].set(0.0)
+        gj = g[j]
+        g = (g.at[j].set(u * gj)
+             .at[j + 1].set(-jnp.conj(v) * gj))
+        return (j + 1, V, R.at[:, j].set(col), g,
+                cs.at[j].set(u), sn.at[j].set(v))
+
+    j_end, V, R, g, cs, sn = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), V, R, g, cs, sn))
+    # masked triangular solve: unit diagonal + zero rhs on unreached rows
+    # and on (lucky-)breakdown columns whose pivot collapsed to ~0, where
+    # the old SVD lstsq would have dropped the direction
+    rows = jnp.arange(k)
+    dvec = jnp.abs(jnp.diagonal(R[:k, :k]))
+    fix = (rows >= j_end) | (dvec < 1e-30)
+    Rm = R[:k, :k] + jnp.diag(jnp.where(fix, 1.0, 0.0).astype(dt))
+    gm = jnp.where(fix, 0.0, g[:k])
+    y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
     x_new = x + V[:k].T @ y
-    resid = jnp.linalg.norm(H @ y - e1)
-    return x_new, resid
+    resid = jnp.abs(g[j_end])
+    return x_new, resid, j_end
 
 
 @partial(jax.jit, static_argnames=("plan", "k"))
-def _gmres_restart_plan(x, b, ops, *, plan, k: int):
-    return _gmres_restart_core(lambda v: plan.matvec(v, *ops), x, b, k)
+def _gmres_restart_plan(x, b, ops, *, plan, k: int, atol=None):
+    return _gmres_restart_core(lambda v: plan.matvec(v, *ops), x, b, k,
+                               atol=atol)
 
 
 def gmres_plan(plan, ops: tuple, b: jnp.ndarray, x0: jnp.ndarray = None,
                krylov_dim: int = 30, tol: float = 1e-12,
                max_restarts: int = 50) -> Tuple[jnp.ndarray, dict]:
     """Solve ``plan.matvec(x, *ops) = b`` with fully-jitted GMRES restarts
-    (one dispatch + one scalar host sync per restart)."""
+    (one dispatch + one scalar host sync per restart); inside a restart the
+    device loop exits as soon as the Givens-tracked residual clears
+    ``tol * |b|``, so a warm-started solve costs a few matvecs."""
     bnorm = float(jnp.linalg.norm(b))
     if bnorm == 0.0:
         return jnp.zeros_like(b), {"resid": 0.0, "iters": 0}
     x = x0 if x0 is not None else jnp.zeros_like(b)
     res = np.inf
     iters = 0
+    atol = jnp.asarray(tol * bnorm)
     for _ in range(max_restarts):
-        x, resid = _gmres_restart_plan(x, b, ops, plan=plan, k=krylov_dim)
-        iters += krylov_dim
+        x, resid, j = _gmres_restart_plan(x, b, ops, plan=plan,
+                                          k=krylov_dim, atol=atol)
+        iters += int(j)
         res = float(resid) / bnorm
         if res < tol:
             break

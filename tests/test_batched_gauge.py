@@ -49,6 +49,42 @@ def test_polar_gauge_recovers_isometries():
     assert float((gr - Il).norm()) < 1e-9
 
 
+def test_quintic_schedule_beats_pure_ns_on_tiny_singular_values():
+    """The default (10, 6) quintic+polish schedule must orthogonalize a
+    stack with singular values down to 1e-5 where 26 plain NS steps (the
+    old default, 52 matmuls vs 42) still leave the smallest direction
+    visibly short of 1."""
+    from hubbardtn_tpu.algorithms.batched_gauge import _ns_polar_stack
+    rng = np.random.default_rng(7)
+    n, R, C = 3, 24, 12
+    svals = np.geomspace(1e-5, 1.0, C)
+    Xs = []
+    for k in range(n):
+        U, _ = np.linalg.qr(rng.standard_normal((R, C)))
+        V, _ = np.linalg.qr(rng.standard_normal((C, C)))
+        Xs.append(U @ np.diag(svals) @ V.T)
+    X = jnp.asarray(np.stack(Xs))
+    Uq = np.asarray(_ns_polar_stack(X, iters=(10, 6)))
+    Un = np.asarray(_ns_polar_stack(X, iters=26))
+    I = np.eye(C)
+    err_q = max(np.linalg.norm(u.T.conj() @ u - I) for u in Uq)
+    err_n = max(np.linalg.norm(u.T.conj() @ u - I) for u in Un)
+    assert err_q < 1e-5
+    assert err_q < err_n
+    # same polar factor as SVD-based exact polar, directionwise
+    for x, u in zip(Xs, Uq):
+        W, _, Vh = np.linalg.svd(x, full_matrices=False)
+        assert np.linalg.norm(u - W @ Vh) < 1e-4
+
+
+def test_quintic_legacy_int_schedule_is_pure_ns():
+    """A bare int `iters` must keep the legacy pure-NS semantics used by
+    the f64 QR-parity tests above."""
+    from hubbardtn_tpu.algorithms.batched_gauge import _norm_schedule
+    assert _norm_schedule(26) == (0, 26)
+    assert _norm_schedule((10, 6)) == (10, 6)
+
+
 def test_polar_gauge_matches_qr_errors_random():
     """On a random (inconsistent) AC the polar and QR gauges differ, but
     both must produce exact isometries and comparable gauge errors."""

@@ -95,6 +95,74 @@ def test_gmres_plan_matches_dense(complex_):
     assert np.linalg.norm(np.asarray(x) - np.asarray(x2)) < 1e-7
 
 
+def test_lanczos_early_exit_on_converged_start():
+    """Warm start at an exact eigenvector with atol set: the device
+    while_loop must close the recurrence after ~1 matvec (j_end << k) and
+    still return the exact eigenvalue — the latency win that makes
+    steady-state VUMPS eigensolves ~1 matvec instead of krylov_dim."""
+    from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
+    A = _hermitian(40, 11)
+    w, U = np.linalg.eigh(A)
+    v0 = jnp.asarray(U[:, 0])
+    theta, v, resid, j_end = _lanczos_restart_plan(
+        v0, (jnp.asarray(A),), plan=MatPlan(40), k=20, atol=1e-10)
+    assert int(j_end) <= 2
+    assert abs(float(theta) - w[0]) < 1e-9
+    assert float(resid) < 1e-9
+
+
+def test_lanczos_early_exit_matches_exhaustive():
+    """With a loose atol the early-exit restart must agree with the
+    atol=None exhaustive restart to that tolerance."""
+    from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
+    A = _hermitian(50, 17)
+    v0 = jnp.asarray(np.random.default_rng(2).standard_normal(50))
+    t1, _, _, j1 = _lanczos_restart_plan(v0, (jnp.asarray(A),),
+                                         plan=MatPlan(41), k=25)
+    t2, _, r2, j2 = _lanczos_restart_plan(v0, (jnp.asarray(A),),
+                                          plan=MatPlan(41), k=25, atol=1e-6)
+    assert int(j1) == 25                       # no atol: runs all k steps
+    assert int(j2) <= int(j1)
+    assert abs(float(t1) - float(t2)) < 1e-5
+
+
+def test_gmres_early_exit_warm_start():
+    """Warm start at the exact solution: the Givens-tracked residual is
+    below atol at j=0, so the loop exits without a single Arnoldi step and
+    returns the warm start unchanged."""
+    from hubbardtn_tpu.solvers.krylov import _gmres_restart_plan
+    rng = np.random.default_rng(23)
+    n = 40
+    A = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    x_exact = jnp.asarray(np.linalg.solve(A, b))
+    x, resid, j_end = _gmres_restart_plan(
+        x_exact, jnp.asarray(b), (jnp.asarray(A),), plan=MatPlan(42), k=20,
+        atol=1e-8 * np.linalg.norm(b))
+    assert int(j_end) == 0
+    assert float(resid) < 1e-8 * np.linalg.norm(b)
+    assert np.linalg.norm(np.asarray(x) - np.asarray(x_exact)) < 1e-10
+
+
+def test_gmres_early_exit_partial_solve():
+    """A mid-loop exit (0 < j_end < k) must still assemble the correct
+    minimal-residual update from the masked triangular solve, with the
+    Givens-tracked residual matching the true residual."""
+    from hubbardtn_tpu.solvers.krylov import _gmres_restart_plan
+    rng = np.random.default_rng(29)
+    n = 60
+    A = np.eye(n) + 0.08 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    atol = 1e-6 * np.linalg.norm(b)
+    x, resid, j_end = _gmres_restart_plan(
+        jnp.zeros(n), jnp.asarray(b), (jnp.asarray(A),), plan=MatPlan(43),
+        k=50, atol=atol)
+    assert 0 < int(j_end) < 50
+    true_res = np.linalg.norm(A @ np.asarray(x) - b)
+    assert abs(true_res - float(resid)) < 1e-9 * np.linalg.norm(b)
+    assert true_res <= atol * (1 + 1e-9)
+
+
 # ----------------------------------------------------------------------
 # Arnoldi (general, non-Hermitian capable)
 # ----------------------------------------------------------------------

@@ -9,11 +9,11 @@ Hubbard model (T=2 unit cell) at a bond dimension ~2048:
   the shape-bucketed batched H_AC and H_C (algorithms/batched_hac.py over
   mpo/channel_pack.py; solvers/krylov._lanczos_restart_plan);
 * gauge updates: positive-QR AL/AR recovery (algorithms/vumps._gauge_site);
-* environment refresh: finite-channel presweeps + one 30-step GMRES restart
-  for each infinite geometric sum + interior fills, composed into one jitted
-  program (algorithms/environments);
-* repack: environment dicts -> bucketed stacks for the next iteration's
-  eigensolves, jitted.
+* environment refresh: the fully-batched engine (algorithms/batched_env_ab)
+  — bucketed presweeps + one 30-step GMRES restart per infinite geometric
+  sum + interior fills + dict unpack, one jitted program per side.  Its
+  stacked outputs feed the eigensolve plans directly (layout passthrough),
+  so the former repack stage no longer exists in the iteration.
 
 Reported: ms per iteration, achieved TFLOP/s (FLOPs from XLA's compiled
 cost analysis), and the bare H_AC matvec time.  The reference publishes no
@@ -121,14 +121,23 @@ class SweepBench:
                     op.blocks[k] = jnp.asarray(np.asarray(op.blocks[k]),
                                                dtype=dtype)
 
+        self._build_env_refresh()
+        # plans share the engine's global channel pad, so its stacked env
+        # outputs feed the eigensolves directly (the production driver's
+        # passthrough: no dict repack stage in the iteration)
+        Cch = self.eng.lay_gl[0].Cch
         self.GL3 = [pm.pack_env_left(self.GLd[x], x) for x in range(T)]
         self.GR3 = [pm.pack_env_right(self.GRd[x], (x + 1) % T)
                     for x in range(T)]
         self.plans_ac = [PaddedHAC(self.GL3[x], pm.Ws[x], self.GR3[x],
-                                   self.ACs[x]) for x in range(T)]
+                                   self.ACs[x], Cch=Cch) for x in range(T)]
         self.plans_c = [PaddedHC(pm.pack_env_left(self.GLd[(x + 1) % T],
                                                   (x + 1) % T),
-                                 self.GR3[x], self.Cs[x]) for x in range(T)]
+                                 self.GR3[x], self.Cs[x], Cch=Cch)
+                        for x in range(T)]
+        for x in range(T):
+            assert self.plans_ac[x].gl.pos == self.eng.lay_gl[x].stacks.pos
+            assert self.plans_ac[x].gr.pos == self.eng.lay_gr[x].stacks.pos
 
         self.vac = [self.plans_ac[x].pack_vec(self.ACs[x]) for x in range(T)]
         self.vc = [self.plans_c[x].pack_vec(self.Cs[x]) for x in range(T)]
@@ -143,91 +152,43 @@ class SweepBench:
         self.gauge_plans = [PolarGaugePlan(self.ACs[x],
                                            self.Cs[(x - 1) % T],
                                            self.Cs[x]) for x in range(T)]
-        self._build_env_refresh()
-        self._build_repack()
 
     # -- environment refresh as one jitted program ------------------------
     def _build_env_refresh(self):
-        import math
+        """Full bucketed engine (algorithms/batched_env_ab.py): presweeps +
+        one 30-step GMRES restart per geometric sum + fills + dict unpack,
+        one jitted program per side.  tol_s=0 pins the full 30 device
+        steps: random bench environments never converge early, so the
+        measured number is the worst-case (cold-start) refresh."""
+        import types
 
-        from hubbardtn_tpu.algorithms.batched_env import (RegLeftPackedPlan,
-                                                          RegRightPackedPlan)
-        from hubbardtn_tpu.algorithms.environments import (
-            _jit_fill_left, _jit_fill_right, _presweep_left, _presweep_right,
-            _zero_env_left, _zero_env_right, pair_envs, rho_left, rho_right)
-        from hubbardtn_tpu.mps.imps import bond_identity
-        from hubbardtn_tpu.solvers.krylov import (_gmres_restart_core,
-                                                  full_blocks)
+        from hubbardtn_tpu.algorithms.batched_env_ab import AbEnvEngine
+        from hubbardtn_tpu.algorithms.environments import rho_left, rho_right
 
-        H, T, dtype = self.H, self.T, self.dtype
-        g = H.site.group
-        tmplL = [_zero_env_left(g, self.Vs[x - 1], H.charges[x], dtype)
-                 for x in range(T)]
-        tmplR = [_zero_env_right(g, self.Vs[x], H.charges[(x + 1) % T], dtype)
-                 for x in range(T)]
-        I0L = bond_identity(g, self.Vs[T - 1], dtype=dtype)
-        I0R = bond_identity(g, self.Vs[T - 1], dtype=dtype)
-        fin = H.idx_final(0)
-        ns = max(2, math.ceil(H.max_len / T) + 1)
-        regL = RegLeftPackedPlan(self.ALs, dtype=dtype)
-        regR = RegRightPackedPlan(self.ARs, dtype=dtype)
-        tmpl_CF = full_blocks(tmplL[0][fin])
-        tmpl_CI = full_blocks(tmplR[T - 1][0])
+        T, dtype = self.T, self.dtype
+        psi_like = types.SimpleNamespace(T=T, group=self.H.site.group,
+                                         ALs=self.ALs, ARs=self.ARs,
+                                         Cs=self.Cs)
+        self.eng = AbEnvEngine(psi_like, self.H)
+        self.astL = self.eng.regL.pack_As(self.ALs)
+        self.astR = self.eng.regR.pack_As(self.ARs)
+        self.rhoT = self.eng.regL.layout.pack_transposed(
+            rho_right(self.Cs[T - 1]))
+        self.sigT = self.eng.regR.layout.pack_transposed(
+            rho_left(self.Cs[T - 1]))
+        self._x0L = jnp.zeros((self.eng.regL.layout.total,), dtype=dtype)
+        self._x0R = jnp.zeros((self.eng.regR.layout.total,), dtype=dtype)
+        rdt = jnp.real(jnp.zeros((), dtype)).dtype
+        self._tol0 = jnp.zeros((), rdt)
 
-        def refresh(ALs, ARs, Cs, Ws, tmplL, tmplR, I0L, I0R):
-            ALs, ARs, Ws = tuple(ALs), tuple(ARs), tuple(Ws)
-            GL0, CF = _presweep_left(tmplL[0], Ws, ALs, I0L,
-                                     n_sweeps=ns, fin=fin)
-            rho = rho_right(Cs[T - 1])
-            tr = pair_envs(I0L, rho)
-            e = pair_envs(CF, rho) / tr
-            astL = regL.pack_As(ALs)
-            opsL = (astL, regL.layout.pack_transposed(rho),
-                    regL.layout.pack(I0L), tr)
-            rhs = regL.layout.pack(CF) - e * opsL[2]
-            y, _, _ = _gmres_restart_core(
-                lambda v: regL.matvec(v, *opsL), jnp.zeros_like(rhs), rhs, 30)
-            GL0 = dict(GL0)
-            GL0[fin] = regL.layout.unpack(y, tmpl_CF)
-            GLs = _jit_fill_left(GL0, Ws, ALs, tmplL)
+        def refresh(astL, astR, rhoT, sigT, x0L, x0R, tol0):
+            GLs, stL, eL, *_ = self.eng._refresh_left(astL, rhoT, x0L, tol0)
+            GRs, stR, eR, *_ = self.eng._refresh_right(astR, sigT, x0R, tol0)
+            return GLs, stL, GRs, stR, eL + eR
 
-            GR0, CI = _presweep_right(tmplR[T - 1], Ws, ARs, I0R, n_sweeps=ns)
-            sig = rho_left(Cs[T - 1])
-            trs = pair_envs(sig, I0R)
-            er = pair_envs(sig, CI) / trs
-            astR = regR.pack_As(ARs)
-            opsR = (astR, regR.layout.pack_transposed(sig),
-                    regR.layout.pack(I0R), trs)
-            rhsr = regR.layout.pack(CI) - er * opsR[2]
-            yr, _, _ = _gmres_restart_core(
-                lambda v: regR.matvec(v, *opsR), jnp.zeros_like(rhsr),
-                rhsr, 30)
-            GR0 = dict(GR0)
-            GR0[0] = regR.layout.unpack(yr, tmpl_CI)
-            GRs = _jit_fill_right(GR0, Ws, ARs, tmplR)
-            return GLs, GRs, e + er
-
-        self._refresh = jax.jit(refresh)
-        self._refresh_args = (self.ALs, self.ARs, self.Cs, self.H.Ws,
-                              tmplL, tmplR, I0L, I0R)
-
-    def _build_repack(self):
-        """Env dicts -> bucketed stacks for the next eigensolves (jitted)."""
-        T, pm = self.T, self.pm
-
-        def repack(GLds, GRds):
-            out = []
-            for x in range(T):
-                GL3 = pm.pack_env_left(GLds[x], x)
-                GR3 = pm.pack_env_right(GRds[x], (x + 1) % T)
-                GL13 = pm.pack_env_left(GLds[(x + 1) % T], (x + 1) % T)
-                out.append((self.plans_ac[x].pack_gl(GL3),
-                            self.plans_ac[x].pack_gr(GR3),
-                            self.plans_c[x].pack_gl(GL13),
-                            self.plans_c[x].pack_gr(GR3)))
-            return out
-
-        self._repack = jax.jit(repack)
+        self._refresh = refresh
+        self._refresh_args = (self.astL, self.astR, self.rhoT, self.sigT,
+                              self._x0L, self._x0R, self._tol0)
 
     def to_device(self, dev):
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
@@ -290,18 +251,13 @@ class SweepBench:
             return self._refresh(*self._refresh_args)
 
         def flops():
-            return _flops_of(self._refresh.lower(*self._refresh_args))
+            return (_flops_of(self.eng._refresh_left.lower(
+                        self.astL, self.rhoT, self._x0L, self._tol0))
+                    + _flops_of(self.eng._refresh_right.lower(
+                        self.astR, self.sigT, self._x0R, self._tol0)))
 
         return run, flops
 
-    def stage_repack(self):
-        def run():
-            return self._repack(self.GLd, self.GRd)
-
-        def flops():
-            return _flops_of(self._repack.lower(self.GLd, self.GRd))
-
-        return run, flops
 
 
 class SU2Bench:
@@ -443,12 +399,13 @@ class SU2Bench:
         eng = self.eng
         x0L = jnp.zeros((eng.xlayL[0].total,), dtype=self.dtype)
         x0R = jnp.zeros((eng.xlayR[self.T - 1].total,), dtype=self.dtype)
+        tol0 = jnp.zeros((), jnp.real(jnp.zeros((), self.dtype)).dtype)
 
         def run():
             GLs, eL, *_ = eng._refresh_left(self.a_abL, self.rho_arrays,
-                                            x0L)
+                                            x0L, tol0)
             GRs, eR, *_ = eng._refresh_right(self.a_abR, self.sig_arrays,
-                                             x0R)
+                                             x0R, tol0)
             return GLs, GRs, eL + eR
 
         return run
@@ -671,8 +628,7 @@ def _run_live():
             with jax.default_device(cpu):
                 stages = {"eigs": bench.stage_eigs(),
                           "gauge": bench.stage_gauge(),
-                          "envs": bench.stage_envs(),
-                          "repack": bench.stage_repack()}
+                          "envs": bench.stage_envs()}
             # first pass compiles each stage (slow); two more passes of
             # pure timing recover the unloaded number on a shared chip
             stage_ms = {}

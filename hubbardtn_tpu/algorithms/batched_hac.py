@@ -110,12 +110,14 @@ class PaddedHAC:
     are (n, Dl, P, Dr) and W stacks (n, C, Po, Pi, C)."""
 
     def __init__(self, GL3: SymTensor, W4: SymTensor, GR3: SymTensor,
-                 AC: SymTensor):
+                 AC: SymTensor, Cch: int = None):
         self.dtype = AC.dtype
         Vl, Pp, Vr = AC.spaces
 
-        C = max(max((d for _, d in W4.spaces[0]), default=1),
-                max((d for _, d in W4.spaces[3]), default=1))
+        # Cch overrides the channel-axis pad (e.g. the env engine's global
+        # max, so its stacked envs feed this plan with no relayout)
+        C = Cch or max(max((d for _, d in W4.spaces[0]), default=1),
+                       max((d for _, d in W4.spaces[3]), default=1))
         self.C = C
 
         ac_keys = sorted(AC.allowed_keys())
@@ -317,15 +319,16 @@ class PaddedHC:
     """Bucketed batched zero-site effective Hamiltonian:
     out[(b, br)] = sum_qa GL1[(b, k, qa)] C[(k, r)] GR[(r, br, qa)]."""
 
-    def __init__(self, GL3: SymTensor, GR3: SymTensor, C: SymTensor):
+    def __init__(self, GL3: SymTensor, GR3: SymTensor, C: SymTensor,
+                 Cch: int = None):
         self.dtype = C.dtype
         C_keys = sorted(C.allowed_keys())
         C_dims = [(C.spaces[0].dim_of(k[0]), C.spaces[1].dim_of(k[1]))
                   for k in C_keys]
         self.c = _Stacks(C_keys, C_dims, self.dtype)
 
-        Cch = max(max((d for _, d in GL3.spaces[2]), default=1),
-                  max((d for _, d in GR3.spaces[2]), default=1))
+        Cch = Cch or max(max((d for _, d in GL3.spaces[2]), default=1),
+                         max((d for _, d in GR3.spaces[2]), default=1))
         self.C = Cch
         gl_keys = sorted(GL3.allowed_keys())
         gl_dims = [tuple(GL3.spaces[i].dim_of(k[i]) for i in range(3))

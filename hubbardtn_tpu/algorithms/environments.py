@@ -39,6 +39,22 @@ from ..symmetry.spaces import Space
 from ..tensor.symtensor import IN, OUT, SymTensor, tensordot
 
 
+def _ab_engine(psi: "UniformMPS", H: "MPOHamiltonian"):
+    """The fully-batched abelian env engine for this (psi, H), or None when
+    the structure (SU(2), 4-leg ops, complex W over a real state) or the
+    HTN_NO_ENV_PACK=1 A/B knob keeps the dict path."""
+    g = psi.group
+    if (getattr(g, "has_su2", False)
+            or os.environ.get("HTN_NO_ENV_PACK", "") == "1"
+            or not all(op.ndim == 2 for W in H.Ws for op in W.values())):
+        return None
+    from .batched_env_ab import AbEnvEngine
+    try:
+        return AbEnvEngine.get(psi, H)
+    except TypeError:  # complex MPO with a real state: dict path
+        return None
+
+
 def pair_envs(GL: SymTensor, GR: SymTensor) -> jnp.ndarray:
     """Scalar tr(GL . GR): close a left and right environment on one bond."""
     if GL.ndim == 3:  # SU(2): explicit channel legs close too
@@ -277,6 +293,10 @@ def left_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
             and all(op.ndim == 4 for W in H.Ws for op in W.values())):
         from .batched_env_su2 import SU2EnvEngine
         return SU2EnvEngine.get(psi, H).left(psi, H, tol, gl_final0)
+    eng = _ab_engine(psi, H)
+    if eng is not None:
+        GLs, e, _stacks = eng.left(psi, H, tol, gl_final0)
+        return GLs, e
     I0 = bond_identity(g, psi.ALs[0].spaces[0], dtype=dtype)
     su2 = getattr(g, "has_su2", False)
     if su2:
@@ -343,6 +363,10 @@ def right_environments(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-12,
             and all(op.ndim == 4 for W in H.Ws for op in W.values())):
         from .batched_env_su2 import SU2EnvEngine
         return SU2EnvEngine.get(psi, H).right(psi, H, tol, gr_init0)
+    eng = _ab_engine(psi, H)
+    if eng is not None:
+        GRs, e, _stacks = eng.right(psi, H, tol, gr_init0)
+        return GRs, e
     I0 = bond_identity(g, psi.ARs[T - 1].spaces[2], dtype=dtype)
     su2 = getattr(g, "has_su2", False)
     if su2:
@@ -400,8 +424,19 @@ class Environments:
                  prev: "Environments" = None):
         gl0 = prev.GLs[0].get(H.idx_final(0)) if prev is not None else None
         gr0 = prev.GRs[psi.T - 1].get(0) if prev is not None else None
-        self.GLs, eL = left_environments(psi, H, tol, gl_final0=gl0)
-        self.GRs, eR = right_environments(psi, H, tol, gr_init0=gr0)
+        # when the batched abelian engine serves this structure, keep its
+        # stacked per-bond arrays too: vumps feeds them straight into
+        # layout-matched bucketed solver plans (no dict repack round trip)
+        self.ab_engine = _ab_engine(psi, H)
+        if self.ab_engine is not None:
+            self.GLs, eL, self.GL_stacks = self.ab_engine.left(
+                psi, H, tol, gl_final0=gl0)
+            self.GRs, eR, self.GR_stacks = self.ab_engine.right(
+                psi, H, tol, gr_init0=gr0)
+        else:
+            self.GL_stacks = self.GR_stacks = None
+            self.GLs, eL = left_environments(psi, H, tol, gl_final0=gl0)
+            self.GRs, eR = right_environments(psi, H, tol, gr_init0=gr0)
         self.e_left = eL
         self.e_right = eR
         self.H = H

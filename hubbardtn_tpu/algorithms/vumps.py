@@ -201,7 +201,13 @@ class _BatchedSiteSU2:
 class _BatchedSite:
     """Per-site bucketed solvers (built once per block structure): packs the
     channel dicts into stacked class arrays and runs the batched matvecs of
-    algorithms/batched_hac.py inside the Lanczos loops."""
+    algorithms/batched_hac.py inside the Lanczos loops.
+
+    When the environments came from the batched abelian engine
+    (algorithms/batched_env_ab.py), its per-bond stacked arrays feed the
+    plans directly — the plans are built on the engine's layouts (same
+    templates, same global channel pad), so the dict -> host -> stacks
+    repack round trip disappears from the iteration."""
 
     def __init__(self, H, pm, x: int, psi):
         self.pm, self.x, self.T = pm, x, psi.T
@@ -209,9 +215,41 @@ class _BatchedSite:
         self.plan_c = None
         self._struct = None
 
-    def ensure(self, GLx, GRx, GLx1, AC, C):
+    def ensure(self, GLx, GRx, GLx1, AC, C, envs=None):
+        from ..tensor.symtensor import IN, OUT
         from .batched_hac import PaddedHAC, PaddedHC
         pm, x, T = self.pm, self.x, self.T
+        eng = getattr(envs, "ab_engine", None)
+        if eng is not None and getattr(envs, "GL_stacks", None) is not None:
+            key = ("eng", id(eng), AC.structure(), C.structure())
+            if self._struct != key:
+                g = AC.group
+                VLx, VRx = AC.spaces[0], AC.spaces[2]
+                GL3t = SymTensor.zeros(g, (VLx, VLx, pm.maps[x].space),
+                                       (IN, OUT, IN), dtype=AC.dtype,
+                                       fill=False)
+                GR3t = SymTensor.zeros(
+                    g, (VRx, VRx, pm.maps[(x + 1) % T].space),
+                    (IN, OUT, OUT), dtype=AC.dtype, fill=False)
+                GL13t = SymTensor.zeros(
+                    g, (VRx, VRx, pm.maps[(x + 1) % T].space),
+                    (IN, OUT, IN), dtype=AC.dtype, fill=False)
+                Cch = eng.lay_gl[x].Cch
+                plan_ac = PaddedHAC(GL3t, pm.Ws[x], GR3t, AC, Cch=Cch)
+                plan_c = PaddedHC(GL13t, GR3t, C, Cch=Cch)
+                if (plan_ac.gl.pos == eng.lay_gl[x].stacks.pos
+                        and plan_ac.gr.pos == eng.lay_gr[x].stacks.pos
+                        and plan_c.gl.pos
+                        == eng.lay_gl[(x + 1) % T].stacks.pos
+                        and plan_c.gr.pos == eng.lay_gr[x].stacks.pos):
+                    self.plan_ac, self.plan_c = plan_ac, plan_c
+                    self._struct = key
+                else:  # layout drift (unexpected): dict repack below
+                    self.plan_ac = None
+                    self._struct = None
+            if self._struct == key:
+                return (envs.GL_stacks[x], envs.GR_stacks[x],
+                        envs.GL_stacks[(x + 1) % T], envs.GR_stacks[x])
         GL3 = pm.pack_env_left(GLx, x)
         GR3 = pm.pack_env_right(GRx, (x + 1) % T)
         GL13 = pm.pack_env_left(GLx1, (x + 1) % T)
@@ -332,7 +370,8 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
 
             if use_batched:
                 bs = bsites[x]
-                GLp, GRp, GL1p, GR1p = bs.ensure(GLx, GRx, GLx1, AC0, C0)
+                GLp, GRp, GL1p, GR1p = bs.ensure(GLx, GRx, GLx1, AC0, C0,
+                                                 envs=envs)
                 plan_ac, plan_c = bs.plan_ac, bs.plan_c
                 # fully-jitted Lanczos restarts: one dispatch + one host
                 # sync per restart instead of one dispatch per matvec

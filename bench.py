@@ -9,11 +9,12 @@ Hubbard model (T=2 unit cell) at a bond dimension ~2048:
   the shape-bucketed batched H_AC and H_C (algorithms/batched_hac.py over
   mpo/channel_pack.py; solvers/krylov._lanczos_restart_plan);
 * gauge updates: positive-QR AL/AR recovery (algorithms/vumps._gauge_site);
-* environment refresh: the fully-batched engine (algorithms/batched_env_ab)
-  — bucketed presweeps + one 30-step GMRES restart per infinite geometric
-  sum + interior fills + dict unpack, one jitted program per side.  Its
-  stacked outputs feed the eigensolve plans directly (layout passthrough),
-  so the former repack stage no longer exists in the iteration.
+* environment refresh: the fused engine (algorithms/batched_env_ab) —
+  statically-pinned presweeps (XLA DCE prunes dead channel chains) + one
+  30-step GMRES restart per infinite geometric sum + interior fills +
+  passthrough stacking, one jitted program per side.  Its stacked outputs
+  feed the eigensolve plans directly (layout passthrough), so the former
+  repack stage no longer exists in the iteration.
 
 Reported: ms per iteration, achieved TFLOP/s (FLOPs from XLA's compiled
 cost analysis), and the bare H_AC matvec time.  The reference publishes no
@@ -155,11 +156,11 @@ class SweepBench:
 
     # -- environment refresh as one jitted program ------------------------
     def _build_env_refresh(self):
-        """Full bucketed engine (algorithms/batched_env_ab.py): presweeps +
-        one 30-step GMRES restart per geometric sum + fills + dict unpack,
-        one jitted program per side.  tol_s=0 pins the full 30 device
-        steps: random bench environments never converge early, so the
-        measured number is the worst-case (cold-start) refresh."""
+        """Fused engine (algorithms/batched_env_ab.py): statically-pinned
+        presweeps + one 30-step GMRES restart per geometric sum + fills +
+        passthrough stacking, one jitted program per side.  tol_s=0 pins
+        the full 30 device steps: random bench environments never converge
+        early, so the measured number is the worst-case (cold) refresh."""
         import types
 
         from hubbardtn_tpu.algorithms.batched_env_ab import AbEnvEngine

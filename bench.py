@@ -348,8 +348,6 @@ class SU2Bench:
         psi_like = types.SimpleNamespace(T=T, group=g, ALs=self.ALs,
                                          ARs=self.ARs, Cs=self.Cs)
         self.eng = SU2EnvEngine(psi_like, H)
-        self.a_abL = [self.eng.tplL[x].pack_A(self.ALs[x]) for x in range(T)]
-        self.a_abR = [self.eng.tplR[x].pack_A(self.ARs[x]) for x in range(T)]
         rho3 = append_trivial_leg(rho_right(self.Cs[T - 1]), OUT)
         sig3 = append_trivial_leg(rho_left(self.Cs[T - 1]), IN)
         self.rho_arrays = self.eng.pairL.pack_r(rho3)
@@ -357,10 +355,10 @@ class SU2Bench:
 
     def to_device(self, dev):
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
-         self.ACs, self.Cs, self.a_abL, self.a_abR, self.rho_arrays,
+         self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
          self.sig_arrays) = jax.device_put(
             (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
-             self.ACs, self.Cs, self.a_abL, self.a_abR, self.rho_arrays,
+             self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
              self.sig_arrays), dev)
 
     def stage_eigs(self):
@@ -403,10 +401,10 @@ class SU2Bench:
         tol0 = jnp.zeros((), jnp.real(jnp.zeros((), self.dtype)).dtype)
 
         def run():
-            GLs, eL, *_ = eng._refresh_left(self.a_abL, self.rho_arrays,
-                                            x0L, tol0)
-            GRs, eR, *_ = eng._refresh_right(self.a_abR, self.sig_arrays,
-                                             x0R, tol0)
+            GLs, eL, *_ = eng._refresh_left(tuple(self.ALs),
+                                            self.rho_arrays, x0L, tol0)
+            GRs, eR, *_ = eng._refresh_right(tuple(self.ARs),
+                                             self.sig_arrays, x0R, tol0)
             return GLs, GRs, eL + eR
 
         return run

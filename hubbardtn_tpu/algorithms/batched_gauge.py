@@ -52,33 +52,159 @@ def _bucket(d: int) -> int:
 # slope 3.44 at 0 lifts tiny singular values ~2.3x faster per step than the
 # cubic NS slope 1.5, while |f(x)| stays <= 1.21 on [0, 1] — inside the NS
 # convergence basin (0, sqrt(3)) — so a short plain-NS tail polishes the
-# spectrum to the fixed point quadratically.  The scalar map of the default
+# spectrum to the fixed point quadratically.  The scalar map of the
 # (10, 6) schedule DOMINATES 26 plain NS steps pointwise on [1e-8, 1] and
 # converges directions down to s ~ 1e-6 (26xNS only reaches ~1e-4) at 42
 # matmuls vs 52.
 _QUINTIC = (3.4445, -4.7750, 2.0315)
 
 
-def _norm_schedule(iters) -> Tuple[int, int]:
-    """(quintic_steps, ns_steps); a bare int means legacy pure-NS."""
+def _minimax_quintic(l: float, u: float) -> Tuple[np.ndarray, float]:
+    """Minimax approximation of the constant 1 on [l, u] by an odd quintic
+    a x + b x^3 + c x^5: classic Remez exchange over (a, b, c, E) with
+    equioscillation at 4 reference points.  Returns (coeffs, max_error)."""
+    xs = np.unique(np.concatenate([
+        np.linspace(l, u, 4000),
+        np.geomspace(max(l, 1e-14), u, 4000)]))
+    Phi = np.stack([xs, xs ** 3, xs ** 5], 1)
+    t = np.cos(np.pi * np.arange(4) / 3.0)
+    ref = np.sort(l + (u - l) * (t + 1.0) / 2.0)
+    coef = np.array([1.0 / u, 0.0, 0.0])
+    E = np.inf
+    for _ in range(80):
+        A = np.zeros((4, 4))
+        A[:, 0], A[:, 1], A[:, 2] = ref, ref ** 3, ref ** 5
+        A[:, 3] = [(-1.0) ** i for i in range(4)]
+        try:
+            sol = np.linalg.solve(A, np.ones(4))
+        except np.linalg.LinAlgError:
+            break
+        coef, E = sol[:3], abs(sol[3])
+        err = Phi @ coef - 1.0
+        ae = np.abs(err)
+        # alternating-sign local extrema (one representative per sign run)
+        cand = [0] + [i for i in range(1, len(xs) - 1)
+                      if ae[i] >= ae[i - 1] and ae[i] >= ae[i + 1]] \
+            + [len(xs) - 1]
+        groups: list = []
+        for i in cand:
+            s = np.sign(err[i])
+            if groups and np.sign(err[groups[-1]]) == s:
+                if ae[i] > ae[groups[-1]]:
+                    groups[-1] = i
+            else:
+                groups.append(i)
+        if len(groups) < 4:
+            break
+        # window of 4 consecutive alternating extrema with the largest
+        # smallest amplitude (must contain the global max by optimality)
+        best = max(range(len(groups) - 3),
+                   key=lambda j: min(ae[g] for g in groups[j:j + 4]))
+        new_ref = np.sort(xs[groups[best:best + 4]])
+        if np.max(ae) <= E * (1.0 + 1e-9):
+            ref = new_ref
+            break
+        ref = new_ref
+    # MEASURED image of [l, u] under f governs the next interval (the
+    # levelled E underestimates the sup when the exchange has not fully
+    # converged); small inflation covers grid resolution so the compounded
+    # bracket stays a true bound
+    fx = Phi @ coef
+    eps = float(np.max(np.abs(fx - 1.0)))
+    lo = float(np.min(fx)) * (1.0 - 1e-6)
+    hi = float(np.max(fx)) * (1.0 + 1e-6)
+    return coef, eps, lo, hi
+
+
+def _express_coeffs(l0: float = 1e-7, tol: float = 3e-7,
+                    max_steps: int = 20) -> Tuple[Tuple[float, ...], ...]:
+    """Greedy per-step minimax quintic schedule ("polar express" style,
+    arXiv:2505.16932's construction recomputed numerically): step k applies
+    the odd quintic minimizing max |f(x) - 1| over the current singular-
+    value bracket [l_k, u_k]; the next bracket is the measured image of the
+    map.  The schedule is verified against the composed scalar map on a
+    dense grid; on any failure the caller falls back to the fixed (10, 6)
+    schedule.  Returns a tuple of (a, b, c) triples."""
+    # safety headroom above the Higham bound for f32 rounding
+    l, u = float(l0), 1.01
+    steps = []
+    for _ in range(max_steps):
+        coef, eps, lo, hi = _minimax_quintic(l, u)
+        if not np.all(np.isfinite(coef)) or lo <= 0.0 or hi > 3.0:
+            return ()
+        steps.append(tuple(float(v) for v in coef))
+        if eps <= tol:
+            break
+        l, u = lo, hi
+    else:
+        return ()
+    # verify: composed map sends [l0, 1.01] into 1 +- 2*tol
+    xs = np.geomspace(l0, 1.01, 20001)
+    ys = xs.copy()
+    for a, b, c in steps:
+        ys = a * ys + b * ys ** 3 + c * ys ** 5
+        if not np.all(np.isfinite(ys)) or np.min(ys) <= 0.0 \
+                or np.max(ys) > 3.0:
+            return ()
+    if np.max(np.abs(ys - 1.0)) > 2.0 * tol:
+        return ()
+    return tuple(steps)
+
+
+_EXPRESS_CACHE: Dict = {}
+
+
+def _norm_schedule(iters):
+    """Normalized, hashable schedule: ("express", ((a,b,c), ...)) for the
+    greedy minimax schedule, else (quintic_steps, ns_steps); a bare int
+    means legacy pure-NS."""
+    if iters == "express" or (isinstance(iters, tuple) and iters
+                              and iters[0] == "express"):
+        if (isinstance(iters, tuple) and len(iters) == 2
+                and isinstance(iters[1], tuple) and iters[1]
+                and isinstance(iters[1][0], tuple)):
+            return iters   # already-normalized ("express", coeff-triples)
+        args = tuple(iters[1:]) if isinstance(iters, tuple) else ()
+        hit = _EXPRESS_CACHE.get(args)
+        if hit is None:
+            hit = _express_coeffs(*args)
+            _EXPRESS_CACHE[args] = hit
+        if hit:
+            return ("express", hit)
+        return (10, 6)   # construction failed: fixed schedule
     return (0, int(iters)) if isinstance(iters, int) else tuple(iters)
 
 
-def _ns_polar_stack(X: jnp.ndarray, iters=(10, 6)) -> jnp.ndarray:
-    """Polar factor of a (n, R, C) stack with R >= C: quintic accelerated
-    Newton-Schulz steps followed by plain cubic NS polish steps."""
-    nq, nn = _norm_schedule(iters)
+def _ns_polar_stack(X: jnp.ndarray, iters="express") -> jnp.ndarray:
+    """Polar factor of a (n, R, C) stack with R >= C: per-step minimax
+    quintics (default), or quintic accelerated Newton-Schulz steps followed
+    by plain cubic NS polish steps."""
+    sched = _norm_schedule(iters)
     # Higham scaling: ||X||_2 <= sqrt(||X||_1 ||X||_inf), per stack entry
     a1 = jnp.max(jnp.sum(jnp.abs(X), axis=1), axis=-1)   # max col sum
     ai = jnp.max(jnp.sum(jnp.abs(X), axis=2), axis=-1)   # max row sum
     s = jnp.sqrt(jnp.maximum(a1 * ai, 1e-60))
     U = X / s[:, None, None]
-    a, b, c = _QUINTIC
 
-    def quintic(_, U):
+    def quintic_step(U, a, b, c):
         G = jnp.einsum("bij,bik->bjk", jnp.conj(U), U)
         V = b * G + c * jnp.einsum("bij,bjk->bik", G, G)
         return a * U + jnp.einsum("bij,bjk->bik", U, V)
+
+    if sched[0] == "express":
+        coefs = jnp.asarray(sched[1], dtype=jnp.real(jnp.zeros((),
+                                                               X.dtype)).dtype)
+
+        def body(i, U):
+            return quintic_step(U, coefs[i, 0], coefs[i, 1], coefs[i, 2])
+
+        return lax.fori_loop(0, len(sched[1]), body, U)
+
+    nq, nn = sched
+    a, b, c = _QUINTIC
+
+    def quintic(_, U):
+        return quintic_step(U, a, b, c)
 
     def ns(_, U):
         G = jnp.einsum("bij,bik->bjk", jnp.conj(U), U)
@@ -131,7 +257,7 @@ class PolarGaugePlan:
     SIDES = ("ac2", "cr", "ac1", "cl")
 
     def __init__(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor,
-                 iters=(10, 6)):
+                 iters="express"):
         self.iters = _norm_schedule(iters)
         self.meta = {
             "ac2": _SideMeta(AC, 2, right=False),

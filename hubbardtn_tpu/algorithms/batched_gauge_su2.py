@@ -77,7 +77,7 @@ class PolarGaugePlanSU2:
     SIDES = ("ac2", "cr", "ac1", "cl")
 
     def __init__(self, AC: FusionTensor, Cl: FusionTensor, Cr: FusionTensor,
-                 iters=(10, 6)):
+                 iters="express"):
         self.iters = _norm_schedule(iters)
         self.meta = {
             "ac2": _SideMetaSU2(AC, 2, right=False),

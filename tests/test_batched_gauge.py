@@ -104,3 +104,46 @@ def test_polar_gauge_matches_qr_errors_random():
     # same ballpark of gauge error as the QR route (within 2x)
     assert float(dlp) < 2 * float(dlq) + 1e-8
     assert float(drp) < 2 * float(drq) + 1e-8
+
+
+def test_express_schedule_fewer_matmuls_and_more_accurate():
+    """The default per-step minimax ("polar express") schedule must not
+    cost more matmuls than the fixed (10, 6) schedule while orthogonalizing
+    a DEEPER spectrum (floor 1e-7 vs 1e-6) to near machine precision
+    (3e-11 vs the fixed schedule's 1e-3); pads (s = 0) stay zero."""
+    from hubbardtn_tpu.algorithms.batched_gauge import (_norm_schedule,
+                                                        _ns_polar_stack)
+    sched = _norm_schedule("express")
+    assert sched[0] == "express"
+    n_mm = 3 * len(sched[1])
+    assert n_mm <= 10 * 3 + 6 * 2  # at most the (10, 6) cost
+    # composed scalar map: every s in [1e-7, 1] lands within 1e-8 of 1
+    xs = np.geomspace(1e-7, 1.0, 5001)
+    ys = xs.copy()
+    for a, b, c in sched[1]:
+        ys = a * ys + b * ys ** 3 + c * ys ** 5
+    assert np.max(np.abs(ys - 1.0)) < 1e-8
+
+    rng = np.random.default_rng(7)
+    n, R, C = 3, 24, 12
+    svals = np.geomspace(1e-6, 1.0, C)
+    Xs = []
+    for _ in range(n):
+        U, _ = np.linalg.qr(rng.standard_normal((R, C)))
+        V, _ = np.linalg.qr(rng.standard_normal((C, C)))
+        Xs.append(U @ np.diag(svals) @ V.T)
+    X = jnp.asarray(np.stack(Xs))
+    # pad the stack: extra zero rows/cols must stay exactly zero
+    Xp = jnp.zeros((n, R + 4, C + 4), X.dtype).at[:, :R, :C].set(X)
+    Ue = np.asarray(_ns_polar_stack(Xp, iters="express"))
+    assert np.max(np.abs(Ue[:, R:, :])) == 0.0
+    assert np.max(np.abs(Ue[:, :, C:])) == 0.0
+    Uq = np.asarray(_ns_polar_stack(X, iters=(10, 6)))
+    I = np.eye(C)
+    err_e = max(np.linalg.norm(u.T.conj() @ u - I) for u in Ue[:, :R, :C])
+    err_q = max(np.linalg.norm(u.T.conj() @ u - I) for u in Uq)
+    assert err_e < err_q
+    assert err_e < 1e-9
+    for x, u in zip(Xs, Ue[:, :R, :C]):
+        W, _, Vh = np.linalg.svd(x, full_matrices=False)
+        assert np.linalg.norm(u - W @ Vh) < 1e-8

@@ -310,6 +310,14 @@ class AbEnvEngine:
         self._gmresR = jax.jit(gmresR)
         self._finalize_right = jax.jit(finalize_right)
         self._refresh_right = jax.jit(refresh_right)
+        # raw (unjitted) pieces: the fused whole-iteration VUMPS program
+        # (algorithms/fused_vumps.py) inlines them into its own trace
+        self.raw = {
+            "sweep_left": sweep_left, "regL_mv": regL_mv,
+            "finalize_left": finalize_left,
+            "sweep_right": sweep_right, "regR_mv": regR_mv,
+            "finalize_right": finalize_right,
+        }
 
     # ------------------------------------------------------------------
     def left(self, psi, H, tol: float, gl_final0=None):

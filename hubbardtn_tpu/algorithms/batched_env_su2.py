@@ -396,6 +396,18 @@ class SU2EnvEngine:
         self._finalize_right = jax.jit(finalize_right)
         self._refresh_left = jax.jit(refresh_left)
         self._refresh_right = jax.jit(refresh_right)
+        # raw (unjitted) pieces: the fused whole-iteration VUMPS program
+        # (algorithms/fused_vumps_su2.py) inlines them into its own trace
+        self.raw = {
+            "sweep_left": sweep_left, "regL_mv": regL_mv,
+            "finalize_left": finalize_left,
+            "sweep_right": sweep_right, "regR_mv": regR_mv,
+            "finalize_right": finalize_right,
+            "pack_abL": lambda ALs: [pack_ab(self._astL[x], ALs[x])
+                                     for x in range(T)],
+            "pack_abR": lambda ARs: [pack_ab(self._astR[x], ARs[x])
+                                     for x in range(T)],
+        }
 
     # ------------------------------------------------------------------
     def left(self, psi, H, tol: float, gl_final0=None):

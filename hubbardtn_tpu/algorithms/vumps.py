@@ -327,6 +327,20 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         from ..mpo.channel_pack import PackedMPO
         pm = PackedMPO(H)
         bsites = [_BatchedSite(H, pm, x, psi) for x in range(T)]
+    # whole-iteration fusion: when the abelian batched engine serves this
+    # structure, run the loop as ONE jitted program per iteration (all
+    # eigensolves + gauges + both env refreshes; a single scalar host sync)
+    if use_batched and _os.environ.get("HTN_NO_FUSED", "") != "1":
+        from .fused_vumps import vumps_fused_loop
+        fused = vumps_fused_loop(psi, H, envs, tol, maxiter, krylov_dim,
+                                 verbosity)
+        if fused is not None:
+            psi_f, envs_f, energy_f, err_f, history_f, conv_f = fused
+            if verbosity >= 1:
+                print(f"[vumps] done: e={energy_f:+.12f} err={err_f:.3e} "
+                      f"iters={len(history_f)}")
+            return VUMPSResult(psi_f, envs_f, energy_f, float(err_f),
+                               len(history_f), conv_f, history_f)
     # SU(2): stack equal-charge channels onto one channel leg
     # (mpo/su2_pack.py) and run the inner solves through bucketed batched
     # fusion contractions (algorithms/batched_fusion.py) — a few dozen
@@ -335,6 +349,19 @@ def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
         not use_batched
         and _os.environ.get("HTN_NO_SU2_PACK", "") != "1"
         and all(op.ndim == 4 for W in H.Ws for op in W.values()))
+    # whole-iteration fusion, SU(2) flavor: one jitted program per
+    # iteration over the fusion-tree backend (fused_vumps_su2.py)
+    if use_su2_packed and _os.environ.get("HTN_NO_FUSED", "") != "1":
+        from .fused_vumps_su2 import vumps_fused_loop_su2
+        fused = vumps_fused_loop_su2(psi, H, envs, tol, maxiter,
+                                     krylov_dim, verbosity)
+        if fused is not None:
+            psi_f, envs_f, energy_f, err_f, history_f, conv_f = fused
+            if verbosity >= 1:
+                print(f"[vumps] done: e={energy_f:+.12f} err={err_f:.3e} "
+                      f"iters={len(history_f)}")
+            return VUMPSResult(psi_f, envs_f, energy_f, float(err_f),
+                               len(history_f), conv_f, history_f)
     if use_su2_packed:
         from ..mpo.su2_pack import PackedMPOSU2
         pm2 = PackedMPOSU2(H)

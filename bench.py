@@ -406,16 +406,20 @@ class SU2Bench:
                                            krylov_dim=16, max_restarts=1)
         self.fused_ACs = [full_blocks(psi.AC(x)) for x in range(T)]
         self.fused_Cs = [full_blocks(self.Cs[x]) for x in range(T)]
+        # the fused carry holds the plans' packed env stacks (built here on
+        # the CPU phase, shipped once in to_device)
+        self.fused_EL, self.fused_ER = self.fused_plan._pack_all(
+            list(self.GLd), list(self.GRd))
 
     def to_device(self, dev):
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
          self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
          self.sig_arrays, self.GLd, self.GRd, self.fused_ACs,
-         self.fused_Cs) = jax.device_put(
+         self.fused_Cs, self.fused_EL, self.fused_ER) = jax.device_put(
             (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
              self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
              self.sig_arrays, self.GLd, self.GRd, self.fused_ACs,
-             self.fused_Cs), dev)
+             self.fused_Cs, self.fused_EL, self.fused_ER), dev)
 
     def stage_fused(self):
         plan = self.fused_plan
@@ -423,8 +427,8 @@ class SU2Bench:
         yL = jnp.zeros((self.eng.xlayL[0].total,), dtype=self.dtype)
         yR = jnp.zeros((self.eng.xlayR[self.T - 1].total,),
                        dtype=self.dtype)
-        args = (self.fused_ACs, self.fused_Cs, list(self.GLd),
-                list(self.GRd), yL, yR, zero, zero)
+        args = (self.fused_ACs, self.fused_Cs, self.fused_EL,
+                self.fused_ER, yL, yR, zero, zero)
 
         def run():
             return plan._step(*args)

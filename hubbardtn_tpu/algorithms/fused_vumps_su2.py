@@ -17,12 +17,17 @@ reference's *default* fZ2 x SU(2) x U(1) symmetry,
   presweeps, device-looped GMRES restarts, interior fills — warm-started
   from the previous iteration's regularized solutions riding the carry.
 
-Unlike the abelian carry (stacked env arrays), the SU(2) carry keeps the
-per-channel environment dicts themselves: the engine's DCE-friendly
-inline transfers produce dicts, and restacking for the eigensolves is a
-cheap in-trace gather.  The host reads two scalars per iteration
-(energy, gauge error).  Exactness is pinned by tests/test_fused_vumps.py
-(SU(2) cases) against the staged driver.  Opt out with HTN_NO_FUSED=1.
+Like the abelian plan, the carry holds the eigensolver plans' PACKED
+environment stacks (a few large bucketed arrays per site), not the
+per-channel dicts: the dict -> channel-stack -> bucket gathers run at
+the BOTTOM of each iteration, fused with the env fills that produce
+them, so the hundreds of small per-channel buffers never cross the
+program boundary (carrying dicts measured ~1.2 ms/iter slower at dense
+chi~2874 than the staged stage sum; stacked carry removes both the
+boundary materialization and the top-of-step repack).  The host reads
+two scalars per iteration (energy, gauge error).  Exactness is pinned
+by tests/test_fused_vumps.py (SU(2) cases) against the staged driver.
+Opt out with HTN_NO_FUSED=1.
 """
 
 from __future__ import annotations
@@ -109,8 +114,25 @@ class FusedIterPlanSU2:
         self.chunk = max(1, int(chunk))
         self._multi = (jax.jit(_make_multi_step(raw, self.chunk, self._rdt))
                        if self.chunk > 1 else None)
+        self._pack_envs = jax.jit(self._pack_all)
 
     # ------------------------------------------------------------------
+    def _pack_all(self, GLs, GRs):
+        """Per-site packed env stacks for the eigensolver plans:
+        per-channel dicts -> channel-stacked 3-leg -> bucketed stacks.
+        EL[x] = (H_AC's GL @ bond x, H_C's GL @ bond x+1); ER[x] packs the
+        shared GR @ bond x once per plan layout."""
+        T, pm2 = self.T, self.pm2
+        EL, ER = [], []
+        for x in range(T):
+            pa, pc = self.plans_ac[x], self.plans_c[x]
+            GL3 = pm2.pack_env_left(GLs[x], x)
+            GR3 = pm2.pack_env_right(GRs[x], (x + 1) % T)
+            GL13 = pm2.pack_env_left(GLs[(x + 1) % T], (x + 1) % T)
+            EL.append((pa.pack_gl(GL3), pc.pack_gl(GL13)))
+            ER.append((pa.pack_gr(GR3), pc.pack_gr(GR3)))
+        return EL, ER
+
     def _gauge(self, x: int, AC, Cl, Cr):
         if self.use_polar:
             return self.gauge_plans[x].apply(AC, Cl, Cr)
@@ -120,11 +142,11 @@ class FusedIterPlanSU2:
     def _make_step(self):
         from .environments import rho_left, rho_right
 
-        T, eng, pm2 = self.T, self.eng, self.pm2
+        T, eng = self.T, self.eng
         k, R, gk = self.k, self.max_restarts, self.gmres_dim
         rdt = self._rdt
 
-        def step(ACs, Cs, GLs, GRs, yL, yR, err_prev, tol):
+        def step(ACs, Cs, EL, ER, yL, yR, err_prev, tol):
             # inner eigensolve tolerance: staged driver's
             # max(min(1e-3, err * 1e-2), tol * 1e-2) on device
             inner = jnp.maximum(
@@ -133,11 +155,8 @@ class FusedIterPlanSU2:
             ACs_new, Cs_new = [], []
             for x in range(T):
                 pa, pc = self.plans_ac[x], self.plans_c[x]
-                GL3 = pm2.pack_env_left(GLs[x], x)
-                GR3 = pm2.pack_env_right(GRs[x], (x + 1) % T)
-                GL13 = pm2.pack_env_left(GLs[(x + 1) % T], (x + 1) % T)
-                GLp, GRp = pa.pack_gl(GL3), pa.pack_gr(GR3)
-                GL1p, GR1p = pc.pack_gl(GL13), pc.pack_gr(GR3)
+                GLp, GL1p = EL[x]
+                GRp, GR1p = ER[x]
                 _, vac, _ = _lanczos_device(
                     lambda v, pa=pa, GLp=GLp, GRp=GRp:
                         pa.matvec(v, GLp, GRp),
@@ -192,8 +211,12 @@ class FusedIterPlanSU2:
             # AC = AL . C, exactly like the staged driver's psi.AC(x)
             ACs_carry = [absorb_bond_right(ALs[x], Cs_new[x])
                          for x in range(T)]
+            # pack the refreshed envs HERE (fused with the fills above):
+            # the carry holds the plans' stacked layout, so the per-channel
+            # dict buffers never materialize at the program boundary
+            EL2, ER2 = self._pack_all(GLs2, GRs2)
             e_cell = 0.5 * jnp.real(eL + eR)
-            return (ACs_carry, Cs_new, ALs, ARs, GLs2, GRs2, yL2, yR2,
+            return (ACs_carry, Cs_new, ALs, ARs, EL2, ER2, yL2, yR2,
                     e_cell, err)
 
         return step
@@ -209,17 +232,18 @@ class FusedIterPlanSU2:
               else jnp.zeros((self.eng.xlayL[0].total,), self.dtype))
         yR = (self.eng.xlayR[T - 1].pack_vec(gr_ini) if gr_ini is not None
               else jnp.zeros((self.eng.xlayR[T - 1].total,), self.dtype))
-        return ACs, Cs, list(envs.GLs), list(envs.GRs), yL, yR
+        EL, ER = self._pack_envs(list(envs.GLs), list(envs.GRs))
+        return ACs, Cs, EL, ER, yL, yR
 
-    def step(self, ACs, Cs, GLs, GRs, yL, yR, err_prev, tol):
-        return self._step(ACs, Cs, GLs, GRs, yL, yR,
+    def step(self, ACs, Cs, EL, ER, yL, yR, err_prev, tol):
+        return self._step(ACs, Cs, EL, ER, yL, yR,
                           jnp.asarray(err_prev, self._rdt),
                           jnp.asarray(tol, self._rdt))
 
-    def multi(self, ACs, Cs, ALs, ARs, GLs, GRs, yL, yR, err_prev, tol):
+    def multi(self, ACs, Cs, ALs, ARs, EL, ER, yL, yR, err_prev, tol):
         """``chunk`` iterations in ONE dispatch (see fused_vumps
         ._make_multi_step); returns (carry, (es, errs))."""
-        return self._multi(ACs, Cs, ALs, ARs, GLs, GRs, yL, yR,
+        return self._multi(ACs, Cs, ALs, ARs, EL, ER, yL, yR,
                            jnp.asarray(err_prev, self._rdt),
                            jnp.asarray(tol, self._rdt))
 
@@ -279,7 +303,7 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
     plan = _plan_for(psi, H, eng, envs, krylov_dim, chunk)
 
     T = psi.T
-    ACs, Cs, GLs, GRs, yL, yR = plan.init_carry(psi, envs)
+    ACs, Cs, EL, ER, yL, yR = plan.init_carry(psi, envs)
     err = np.inf
     energy = float(jnp.real(envs.energy_per_site))
     history: List[dict] = []
@@ -290,9 +314,9 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
     while it < maxiter and not converged:
         t0 = time.perf_counter()
         if plan._multi is not None and maxiter - it >= chunk:
-            carry, (es, errs) = plan.multi(ACs, Cs, ALs, ARs, GLs, GRs,
+            carry, (es, errs) = plan.multi(ACs, Cs, ALs, ARs, EL, ER,
                                            yL, yR, err, tol)
-            (ACs, Cs, ALs, ARs, GLs, GRs, yL, yR, _, _) = carry
+            (ACs, Cs, ALs, ARs, EL, ER, yL, yR, _, _) = carry
             es = np.asarray(es)      # the chunk's single host sync
             errs = np.asarray(errs)
             ms = (time.perf_counter() - t0) * 1e3
@@ -309,8 +333,8 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
                     converged = True
                     break
         else:
-            (ACs, Cs, ALs, ARs, GLs, GRs, yL, yR, e_cell,
-             err_dev) = plan.step(ACs, Cs, GLs, GRs, yL, yR, err, tol)
+            (ACs, Cs, ALs, ARs, EL, ER, yL, yR, e_cell,
+             err_dev) = plan.step(ACs, Cs, EL, ER, yL, yR, err, tol)
             err = float(err_dev)     # the iteration's single host sync
             energy = float(e_cell) / T
             history.append({"iter": it, "energy": energy, "error": err,

@@ -10,6 +10,21 @@ Public API mirrors the reference's exports
 (/root/reference/src/HubbardFunctions.jl:11-13).
 """
 
+import os as _os
+
+if _os.environ.get("HTN_COMPILE_CACHE"):
+    # Persistent XLA compilation cache (opt-in): the fused whole-iteration
+    # programs cost 1-3 min of XLA compile each on TPU, and the driver
+    # recompiles at every bond-structure change — caching across processes
+    # turns repeat runs (reruns, scans over model parameters at the same
+    # bond schedule) from minutes of compile into milliseconds of cache
+    # reads.  Set HTN_COMPILE_CACHE to a writable directory.
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["HTN_COMPILE_CACHE"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .models.hubbard import MBCSim, MBSim, OBCSim, OBSim, hamiltonian
 from .algorithms.groundstate import compute_groundstate, find_groundstate
 from .algorithms.vumps import vumps

@@ -325,7 +325,13 @@ class AbEnvEngine:
 
         The stacks share the eigensolver plans' layout (lay_gl[x]); vumps
         feeds them straight into layout-matched PaddedHAC/PaddedHC plans,
-        skipping the per-iteration dict -> host -> stacks repack."""
+        skipping the per-iteration dict -> host -> stacks repack.
+
+        Device contract (utils/device.py): operands are packed on the host
+        (eager block ops stay on CPU) and shipped once; the jitted refresh
+        runs on the accelerator when one is visible; dict/stack results are
+        pulled back to the host for the eager structure layer above."""
+        from ..utils.device import to_accel, to_host
         from .environments import rho_right
         T = self.T
         astacks = self.regL.pack_As(psi)
@@ -334,6 +340,7 @@ class AbEnvEngine:
               if gl_final0 is not None
               and gl_final0.spaces == (self.VL[0], self.VL[0])
               else jnp.zeros((self.regL.layout.total,), dtype=self.dtype))
+        astacks, rhoT_vec, x0 = to_accel((astacks, rhoT_vec, x0))
         GLs, stacks, e, x, resid, rhs, cur, tr = self._refresh_left(
             astacks, rhoT_vec, x0, jnp.asarray(tol, self._rdt))
         bnorm = float(jnp.linalg.norm(rhs))
@@ -345,9 +352,10 @@ class AbEnvEngine:
                 if float(resid) / bnorm < tol:
                     break
             GLs, stacks = self._finalize_left(cur, x, astacks)
-        return GLs, e, stacks
+        return to_host((GLs, e, stacks))
 
     def right(self, psi, H, tol: float, gr_init0=None):
+        from ..utils.device import to_accel, to_host
         from .environments import rho_left
         T = self.T
         astacks = self.regR.pack_As(psi)
@@ -356,6 +364,7 @@ class AbEnvEngine:
               if gr_init0 is not None
               and gr_init0.spaces == (self.VR[T - 1], self.VR[T - 1])
               else jnp.zeros((self.regR.layout.total,), dtype=self.dtype))
+        astacks, sigT_vec, x0 = to_accel((astacks, sigT_vec, x0))
         GRs, stacks, e, x, resid, rhs, cur, tr = self._refresh_right(
             astacks, sigT_vec, x0, jnp.asarray(tol, self._rdt))
         bnorm = float(jnp.linalg.norm(rhs))
@@ -366,4 +375,4 @@ class AbEnvEngine:
                 if float(resid) / bnorm < tol:
                     break
             GRs, stacks = self._finalize_right(cur, x, astacks)
-        return GRs, e, stacks
+        return to_host((GRs, e, stacks))

@@ -411,6 +411,10 @@ class SU2EnvEngine:
 
     # ------------------------------------------------------------------
     def left(self, psi, H, tol: float, gl_final0=None):
+        """Device contract (utils/device.py): operands packed on the host,
+        shipped once; the jitted refresh runs on the accelerator when one
+        is visible; dict results are pulled back for the structure layer."""
+        from ..utils.device import to_accel, to_host
         from .environments import rho_right
         T = self.T
         ALt = tuple(psi.ALs)
@@ -420,6 +424,7 @@ class SU2EnvEngine:
               if gl_final0 is not None
               and gl_final0.spaces[:2] == (self.VL[0], self.VL[0])
               else jnp.zeros((self.xlayL[0].total,), dtype=self.dtype))
+        ALt, rho_arrays, x0 = to_accel((ALt, rho_arrays, x0))
         GLs, e, x, resid, rhs, cur, tr = self._refresh_left(
             ALt, rho_arrays, x0, jnp.asarray(tol, self._rdt))
         bnorm = float(jnp.linalg.norm(rhs))
@@ -431,9 +436,10 @@ class SU2EnvEngine:
                 if float(resid) / bnorm < tol:
                     break
             GLs = self._finalize_left(cur, x, ALt)
-        return GLs, e
+        return to_host((GLs, e))
 
     def right(self, psi, H, tol: float, gr_init0=None):
+        from ..utils.device import to_accel, to_host
         from .environments import rho_left
         T = self.T
         ARt = tuple(psi.ARs)
@@ -443,6 +449,7 @@ class SU2EnvEngine:
               if gr_init0 is not None
               and gr_init0.spaces[:2] == (self.VR[T - 1], self.VR[T - 1])
               else jnp.zeros((self.xlayR[T - 1].total,), dtype=self.dtype))
+        ARt, sig_arrays, x0 = to_accel((ARt, sig_arrays, x0))
         GRs, e, x, resid, rhs, cur, tr = self._refresh_right(
             ARt, sig_arrays, x0, jnp.asarray(tol, self._rdt))
         bnorm = float(jnp.linalg.norm(rhs))
@@ -453,4 +460,4 @@ class SU2EnvEngine:
                 if float(resid) / bnorm < tol:
                     break
             GRs = self._finalize_right(cur, x, ARt)
-        return GRs, e
+        return to_host((GRs, e))

@@ -35,6 +35,7 @@ from ..tensor.symtensor import IN, OUT, SymTensor, tensordot
 from .environments import Environments, mpo_transfer_left, mpo_transfer_right
 from .vumps import apply_H_AC
 
+from ..utils.device import host_built
 
 def _to_complex(t: SymTensor) -> SymTensor:
     return t.astype(jnp.complex128)
@@ -539,6 +540,7 @@ def apply_heff_packed_batched(prob: QuasiparticleProblem, Vb: jnp.ndarray,
     return post_b(Vb, lb, rb)
 
 
+@host_built
 def excitations(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
                 momenta: Sequence[float], sector: Sector, num: int = 1,
                 krylov_dim: int = 30, tol: float = 1e-6, verbosity: int = 0,

@@ -291,17 +291,19 @@ class FusedIterPlan:
         return ACs, Cs, envs.GL_stacks, envs.GR_stacks, yL, yR
 
     def step(self, ACs, Cs, GLstk, GRstk, yL, yR, err_prev, tol):
+        # numpy scalars: host values the jit places with the carry (a
+        # jnp scalar created under host_build would pin to the host)
         return self._step(ACs, Cs, GLstk, GRstk, yL, yR,
-                          jnp.asarray(err_prev, self._rdt),
-                          jnp.asarray(tol, self._rdt))
+                          np.asarray(err_prev, self._rdt),
+                          np.asarray(tol, self._rdt))
 
     def multi(self, ACs, Cs, ALs, ARs, GLstk, GRstk, yL, yR, err_prev, tol):
         """``chunk`` iterations in ONE dispatch; returns (carry, (es, errs))
         where the carry is the 10-tuple after the last non-converged slot
         and es/errs are the per-slot energy/gauge-error traces."""
         return self._multi(ACs, Cs, ALs, ARs, GLstk, GRstk, yL, yR,
-                           jnp.asarray(err_prev, self._rdt),
-                           jnp.asarray(tol, self._rdt))
+                           np.asarray(err_prev, self._rdt),
+                           np.asarray(tol, self._rdt))
 
     def final_envs_prev(self, yL, yR):
         """Shim ``prev`` for the result's Environments rebuild: the carried
@@ -348,6 +350,7 @@ def vumps_fused_loop(psi, H, envs, tol: float, maxiter: int,
     structure is not servable (the caller keeps the staged loop)."""
     import time
 
+    from ..utils.device import to_accel, to_host
     from .environments import Environments
 
     if envs.ab_engine is None or envs.GL_stacks is None:
@@ -365,6 +368,10 @@ def vumps_fused_loop(psi, H, envs, tol: float, maxiter: int,
     converged = False
     ALs = list(psi.ALs)
     ARs = list(psi.ARs)
+    # ship the carry to the accelerator ONCE; every iteration after runs
+    # on committed device arrays (the host only reads two scalars)
+    (ACs, Cs, GLstk, GRstk, yL, yR, ALs, ARs) = to_accel(
+        (ACs, Cs, GLstk, GRstk, yL, yR, ALs, ARs))
     it = 0
     while it < maxiter and not converged:
         t0 = time.perf_counter()
@@ -402,6 +409,9 @@ def vumps_fused_loop(psi, H, envs, tol: float, maxiter: int,
             if err < tol:
                 converged = True
 
+    # the eager structure layer above (expansion, excitations, gauging)
+    # lives on the host; pull the converged state back once
+    ALs, ARs, Cs, yL, yR = to_host((ALs, ARs, Cs, yL, yR))
     psi_out = UniformMPS(ALs, ARs, Cs)
     envs_out = Environments(psi_out, H,
                             tol=max(min(tol * 1e-2, err * 1e-3), 1e-14),

@@ -236,16 +236,17 @@ class FusedIterPlanSU2:
         return ACs, Cs, EL, ER, yL, yR
 
     def step(self, ACs, Cs, EL, ER, yL, yR, err_prev, tol):
+        # numpy scalars: host values the jit places with the carry
         return self._step(ACs, Cs, EL, ER, yL, yR,
-                          jnp.asarray(err_prev, self._rdt),
-                          jnp.asarray(tol, self._rdt))
+                          np.asarray(err_prev, self._rdt),
+                          np.asarray(tol, self._rdt))
 
     def multi(self, ACs, Cs, ALs, ARs, EL, ER, yL, yR, err_prev, tol):
         """``chunk`` iterations in ONE dispatch (see fused_vumps
         ._make_multi_step); returns (carry, (es, errs))."""
         return self._multi(ACs, Cs, ALs, ARs, EL, ER, yL, yR,
-                           jnp.asarray(err_prev, self._rdt),
-                           jnp.asarray(tol, self._rdt))
+                           np.asarray(err_prev, self._rdt),
+                           np.asarray(tol, self._rdt))
 
     def final_envs_prev(self, yL, yR):
         """Shim ``prev`` for the result's Environments rebuild: the carried
@@ -302,6 +303,8 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
     chunk = max(1, int(os.environ.get("HTN_FUSED_CHUNK", "4")))
     plan = _plan_for(psi, H, eng, envs, krylov_dim, chunk)
 
+    from ..utils.device import to_accel, to_host
+
     T = psi.T
     ACs, Cs, EL, ER, yL, yR = plan.init_carry(psi, envs)
     err = np.inf
@@ -310,6 +313,9 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
     converged = False
     ALs = list(psi.ALs)
     ARs = list(psi.ARs)
+    # ship the carry to the accelerator ONCE (see fused_vumps.py)
+    (ACs, Cs, EL, ER, yL, yR, ALs, ARs) = to_accel(
+        (ACs, Cs, EL, ER, yL, yR, ALs, ARs))
     it = 0
     while it < maxiter and not converged:
         t0 = time.perf_counter()
@@ -347,6 +353,7 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
             if err < tol:
                 converged = True
 
+    ALs, ARs, Cs, yL, yR = to_host((ALs, ARs, Cs, yL, yR))
     psi_out = UniformMPS(ALs, ARs, Cs)
     envs_out = Environments(psi_out, H,
                             tol=max(min(tol * 1e-2, err * 1e-3), 1e-14),

@@ -23,6 +23,7 @@ from ..tensor.symtensor import SymTensor, tensordot
 from .environments import Environments
 from .vumps import VUMPSResult, _gauge_site, apply_H_AC, apply_H_C
 
+from ..utils.device import host_built
 
 def _gradient(psi: UniformMPS, H: MPOHamiltonian, envs: Environments
               ) -> List[SymTensor]:
@@ -40,6 +41,7 @@ def _gradient(psi: UniformMPS, H: MPOHamiltonian, envs: Environments
     return out
 
 
+@host_built
 def grassmann_polish(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                      maxiter: int = 50, alpha0: float = 0.05,
                      verbosity: int = 0,

@@ -26,6 +26,7 @@ from .environments import Environments
 from .grassmann import grassmann_polish
 from .idmrg import idmrg2
 from .vumps import VUMPSResult, vumps
+from ..utils.device import host_built
 
 
 def _min_schmidt(psi: UniformMPS) -> float:
@@ -114,6 +115,7 @@ def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
     return psi
 
 
+@host_built
 def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
                      tol: float = 1e-8, max_rounds: int = 8,
                      round_iters: int = 40, final_iters: int = 200,
@@ -172,6 +174,7 @@ def find_groundstate(psi: UniformMPS, H: MPOHamiltonian, svalue: float = 2.0,
 from ..utils.profiling import profiled
 
 
+@host_built
 @profiled("groundstate")
 def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                         max_rounds: int = 8, max_bond: Optional[int] = None,

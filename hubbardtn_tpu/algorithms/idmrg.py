@@ -33,6 +33,7 @@ from .changebonds import expand_bonds, svd_cut
 from .environments import Environments, mpo_transfer_left
 from .vumps import VUMPSResult, apply_H_AC2
 
+from ..utils.device import host_built
 
 class _DictHAC2Plan:
     """Hashable two-site effective-Hamiltonian matvec plan (jitted-restart
@@ -121,6 +122,7 @@ def _sweep(psi: UniformMPS, H: MPOHamiltonian, envs: Environments,
     return UniformMPS(ALs, ARs, Cs)
 
 
+@host_built
 def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
            tol: float = 1e-8, maxiter: int = 100, krylov_dim: int = 16,
            adapt_every: int = 4, verbosity: int = 0,

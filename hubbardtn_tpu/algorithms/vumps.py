@@ -299,9 +299,11 @@ class VUMPSResult:
     history: List[dict]
 
 
+from ..utils.device import host_built
 from ..utils.profiling import profiled
 
 
+@host_built
 @profiled("vumps")
 def vumps(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
           maxiter: int = 200, krylov_dim: int = 16, verbosity: int = 0,

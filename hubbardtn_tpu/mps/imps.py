@@ -34,6 +34,7 @@ from ..symmetry.spaces import Space, fuse_many, one
 from ..tensor import linalg as tla
 from ..tensor.symtensor import IN, OUT, SymTensor, tensordot, trace_all
 
+from ..utils.device import host_built
 
 def _tensor_cls(group):
     if getattr(group, "has_su2", False):
@@ -222,6 +223,7 @@ def virtual_spaces(group, phys: Space, T: int, bond_dim: int,
     return Vs
 
 
+@host_built
 def initialize_mps(group, phys: Space, T: int, bond_dim: int,
                    dtype=jnp.float64, seed: int = 0, cells: int = 1,
                    tol: float = 1e-10) -> UniformMPS:

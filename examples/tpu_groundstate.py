@@ -25,8 +25,10 @@ program once (~1-3 min); repeat runs at the same schedule start hot.
 import os
 import sys
 import time
+from pathlib import Path
 
 os.environ.setdefault("HTN_COMPILE_CACHE", "/tmp/htn_xla_cache")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 

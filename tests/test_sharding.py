@@ -170,3 +170,47 @@ def test_sharded_su2_batched_matvec_matches():
     assert split > 0, "no SU(2) stack leaf was sharded"
     out = np.asarray(mv(vec, GLs, GRs))
     np.testing.assert_allclose(out, ref, atol=1e-11)
+
+
+def test_sharded_fused_iteration_matches():
+    """The PRODUCTION whole-iteration fused program (FusedIterPlan.step —
+    the single dispatch the TPU driver runs per iteration) executes with
+    its entire carry sharded over the mesh and reproduces the unsharded
+    energy/gauge error: the multichip path is the same program the
+    single-chip driver dispatches, with XLA's SPMD partitioner inserting
+    the collectives inside the lax.while_loop solver bodies."""
+    from hubbardtn_tpu.algorithms.environments import Environments
+    from hubbardtn_tpu.algorithms.fused_vumps import FusedIterPlan
+    from hubbardtn_tpu.mps.imps import initialize_mps
+
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=16,
+                         seed=2)
+    envs = Environments(psi, H, tol=1e-10)
+    assert envs.ab_engine is not None, "batched engine must serve this"
+    # small Krylov/GMRES programs: the equality property is shape- and
+    # schedule-independent, and the two fused-step compiles dominate the
+    # test's wall time
+    plan = FusedIterPlan(psi, H, envs.ab_engine, krylov_dim=6,
+                         max_restarts=2, gmres_dim=10)
+    ACs, Cs, GLstk, GRstk, yL, yR = plan.init_carry(psi, envs)
+    ref = plan.step(ACs, Cs, GLstk, GRstk, yL, yR, np.inf, 1e-6)
+    e_ref, err_ref = float(np.real(ref[8])), float(ref[9])
+
+    mesh = make_mesh(8)
+    ACs_sh = [shard_tree(mesh, t) for t in ACs]
+    Cs_sh = [shard_tree(mesh, t) for t in Cs]
+    GLstk_sh = [shard_stacks(mesh, d) for d in GLstk]
+    GRstk_sh = [shard_stacks(mesh, d) for d in GRstk]
+    split, total = n_sharded_leaves((GLstk_sh, GRstk_sh))
+    assert split > 0, "no env stack leaf was sharded"
+    out = plan.step(ACs_sh, Cs_sh, GLstk_sh, GRstk_sh, yL, yR, np.inf, 1e-6)
+    assert abs(float(np.real(out[8])) - e_ref) < 1e-9
+    assert abs(float(out[9]) - err_ref) < 1e-9
+    # the refreshed env solutions agree leaf-for-leaf (reduction-order
+    # differences only)
+    np.testing.assert_allclose(np.asarray(out[6]), np.asarray(ref[6]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out[7]), np.asarray(ref[7]),
+                               atol=1e-9)

@@ -520,8 +520,13 @@ class SU2Bench:
         }
 
 
-def _time_stage(run, reps=4, groups=4):
-    """Min over timing groups: robust to host contention / tunnel jitter."""
+_PASS_LOG = {}  # stage name -> every per-group ms ever measured (honesty)
+
+
+def _time_stage(run, reps=4, groups=4, name=None):
+    """Min over timing groups: robust to host contention / tunnel jitter.
+    Every group's ms lands in _PASS_LOG so the emitted JSON can carry the
+    raw spread, not just the minima."""
     out = run()  # compile + warm
     jax.block_until_ready(out)
     best = np.inf
@@ -530,7 +535,10 @@ def _time_stage(run, reps=4, groups=4):
         for _ in range(reps):
             out = run()
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / reps * 1e3)
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        if name is not None:
+            _PASS_LOG.setdefault(name, []).append(round(ms, 3))
+        best = min(best, ms)
     return best
 
 
@@ -544,10 +552,21 @@ def _time_stages_multipass(stage_runs, passes=3, gap_s=8):
     best = {name: np.inf for name in stage_runs}
     for p in range(passes):
         for name, run in stage_runs.items():
-            best[name] = min(best[name], _time_stage(run))
+            best[name] = min(best[name], _time_stage(run, name=name))
         if p < passes - 1:
             time.sleep(gap_s)
     return best
+
+
+def _throttle_stats():
+    """(passes dict, throttled flag): per-stage raw group timings and
+    whether any stage's spread exceeds 2.5x (a round-over-round comparison
+    of minima is then only trustworthy to about that factor)."""
+    throttled = False
+    for vals in _PASS_LOG.values():
+        if len(vals) >= 2 and max(vals) > 2.5 * min(vals):
+            throttled = True
+    return {k: v for k, v in _PASS_LOG.items()}, throttled
 
 
 def matvec_bench(bench, dev, reps=30):
@@ -566,7 +585,7 @@ def matvec_bench(bench, dev, reps=30):
             out = mv(out, GLp, GRp)
         return out
 
-    ms = _time_stage(run, reps=1, groups=4) / reps
+    ms = _time_stage(run, reps=1, groups=4, name="h_ac_matvec_x30") / reps
     fl = _flops_of(mv.lower(v, GLp, GRp))
     return ms, fl
 
@@ -599,6 +618,178 @@ def dict_matvec_bench(bench, dev, reps=20):
         return out
 
     return _time_stage(run, reps=1, groups=3) / reps
+
+
+def idmrg2_sweep_bench(bench, dev, cpu):
+    """One full two-site IDMRG2 sweep at the bench structure: the
+    reference's PRIMARY ground-state algorithm for unit cells > 1
+    (/root/reference/src/HubbardFunctions.jl:1009-1010).
+
+    Honest wall: packed 2-site Lanczos restarts dispatch to the chip;
+    the Schmidt-projected SVD splits and the environment transfer run on
+    the host exactly as the production ``algorithms/idmrg._sweep`` does
+    under the device contract."""
+    from hubbardtn_tpu.algorithms.idmrg import _PackedHAC2Plan
+    from hubbardtn_tpu.mps.imps import absorb_bond_left
+    from hubbardtn_tpu.solvers.krylov import (Packer, _lanczos_restart_plan,
+                                              full_blocks)
+    from hubbardtn_tpu.tensor import linalg as tla
+    from hubbardtn_tpu.tensor.symtensor import tensordot
+
+    T, pm = bench.T, bench.pm
+
+    def sweep():
+        with jax.default_device(cpu):
+            svd_s = 0.0
+            for x in range(T):
+                x1 = (x + 1) % T
+                AC = absorb_bond_left(bench.Cs[(x - 1) % T], bench.ARs[x])
+                AC2 = tensordot(AC, bench.ARs[x1], axes=([2], [0]))
+                pk = Packer(full_blocks(AC2))
+                plan = _PackedHAC2Plan(pk)
+                ops = jax.device_put(
+                    (pm.pack_env_left(bench.GLd[x], x), pm.Ws[x], pm.Ws[x1],
+                     pm.pack_env_right(bench.GRd[x1], (x1 + 1) % T)), dev)
+                v0 = jax.device_put(pk.pack(AC2), dev)
+                _th, v2, _res, _ = _lanczos_restart_plan(v0, ops, plan=plan,
+                                                         k=16)
+                AC2n = pk.unpack(jax.device_put(v2, cpu))
+                t1 = time.perf_counter()
+                _U, _ss, _Vh, _bond = tla.svd_project(AC2n, 2, bench.Vs[x])
+                svd_s += time.perf_counter() - t1
+        return svd_s
+
+    t0 = time.perf_counter()
+    svd_s = sweep()  # compile + warm
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    svd_s = sweep()
+    total_ms = (time.perf_counter() - t0) * 1e3
+    print(f"# idmrg2 sweep {total_ms:.0f} ms (svd {svd_s*1e3:.0f} ms, "
+          f"first incl. compile {compile_s:.0f}s)", file=sys.stderr)
+    return {"idmrg2_sweep_ms": round(total_ms, 1),
+            "idmrg2_sweep_svd_ms": round(svd_s * 1e3, 1)}
+
+
+def _count_compiles(stderr_text: str) -> int:
+    """Compile events in a JAX_LOG_COMPILES=1 subprocess' stderr."""
+    import re
+    pats = (r"Finished XLA compilation", r"Compiling [\w<>._-]+ with",
+            r"Compiling module")
+    return max(len(re.findall(p, stderr_text)) for p in pats)
+
+
+def _e2e_bench():
+    """End-to-end production compute_groundstate on the chip (the north
+    star's unit of work, /root/reference/src/HubbardFunctions.jl:993-1030):
+
+    * cold solve against a FRESH XLA compile cache (every bond structure
+      of the expansion schedule compiles);
+    * warm solve against the populated cache (deployment steady state);
+    * f64 host evaluation of the converged f32 state's energy against the
+      exact Lieb-Wu integral (models/exact.py) — the variational energy
+      error is quadratic in the f32 state error, so this measures the
+      1e-8-relative north-star target on real chip output.
+
+    Subprocesses keep platform/dtype configs isolated; JAX_LOG_COMPILES
+    gives the recompile counts.  Bounded by BENCH_E2E_BUDGET_S."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", 2700))
+    deadline = time.time() + budget
+    here = os.path.dirname(os.path.abspath(__file__))
+    state_path = os.path.join(tempfile.gettempdir(), "htn_e2e_state.npz")
+    cache_dir = tempfile.mkdtemp(prefix="htn_e2e_cache_")
+    out = {}
+
+    def run(mode, extra, env_extra, timeout):
+        env = dict(os.environ)
+        env.update(env_extra)
+        p = subprocess.run(
+            [sys.executable, os.path.join(here, "bench_e2e.py"), mode,
+             *extra],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=here)
+        for ln in p.stderr.splitlines()[-14:]:
+            print(f"# e2e[{mode}] {ln[-160:]}", file=sys.stderr)
+        if p.returncode != 0:
+            raise RuntimeError(f"e2e {mode} rc={p.returncode}: "
+                               f"{p.stderr.strip()[-300:]}")
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line), p.stderr
+
+    solve_env = {"HTN_COMPILE_CACHE": cache_dir, "JAX_LOG_COMPILES": "1"}
+    try:
+        cold = None
+        for max_bond in (2048, 1024, 512):
+            left = deadline - time.time()
+            if left < 300:
+                break
+            try:
+                args = ["--max-bond", str(max_bond), "--save", state_path]
+                t0 = time.perf_counter()
+                cold, err = run("solve", args, solve_env,
+                                timeout=max(left - 60, 300))
+                out["e2e_max_bond"] = max_bond
+                out["e2e_solve_s_cold"] = round(time.perf_counter() - t0, 1)
+                out["e2e_n_recompiles_cold"] = _count_compiles(err)
+                break
+            except subprocess.TimeoutExpired:
+                print(f"# e2e cold max_bond={max_bond} exceeded budget",
+                      file=sys.stderr)
+        if cold is None:
+            out["e2e_note"] = "cold solve exceeded BENCH_E2E_BUDGET_S"
+            return out
+        out.update({"e2e_energy_f32": cold["energy"],
+                    "e2e_delta": cold["delta"],
+                    "e2e_iters": cold["iters"],
+                    "e2e_final_chi": cold["chi"],
+                    "e2e_bonds": cold["bonds"]})
+
+        # f64 energy evaluation on the host CPU, concurrent with the warm
+        # chip solve (different devices, one core: the f64 stage is the
+        # long pole and is pure host work)
+        host_env = {"JAX_PLATFORMS": "cpu"}
+        host_env_pop = dict(os.environ)
+        host_env_pop.pop("PALLAS_AXON_POOL_IPS", None)
+        host_env_full = {**host_env_pop, **host_env}
+        eproc = subprocess.Popen(
+            [sys.executable, os.path.join(here, "bench_e2e.py"), "energy",
+             "--state", state_path],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=host_env_full, cwd=here)
+
+        left = deadline - time.time()
+        if left > 120:
+            try:
+                t0 = time.perf_counter()
+                warm, err = run("solve",
+                                ["--max-bond", str(out["e2e_max_bond"])],
+                                solve_env, timeout=max(left - 30, 120))
+                out["e2e_solve_s_warm"] = round(time.perf_counter() - t0, 1)
+                out["e2e_n_recompiles_warm"] = _count_compiles(err)
+            except Exception as e:
+                print(f"# e2e warm failed: {e}", file=sys.stderr)
+
+        try:
+            left = max(deadline - time.time(), 300)
+            stdout, stderr = eproc.communicate(timeout=left)
+            for ln in stderr.splitlines()[-6:]:
+                print(f"# e2e[energy] {ln[-160:]}", file=sys.stderr)
+            line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+            ev = json.loads(line)
+            out.update({"e2e_energy_f64_eval": ev["e_f64_eval"],
+                        "e2e_exact": ev["exact"],
+                        "e2e_rel_err_vs_exact": ev["rel_err_vs_exact"],
+                        "e2e_f64_eval_wall_s": ev["wall_s"]})
+        except Exception as e:
+            eproc.kill()
+            print(f"# e2e f64 energy eval failed: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    return out
 
 
 def _tpu_ready(timeout_s: float = 180.0) -> bool:
@@ -712,7 +903,7 @@ def _run_live():
             stage_ms = {}
             for name, (run, flops) in stages.items():
                 t0 = time.perf_counter()
-                stage_ms[name] = _time_stage(run)
+                stage_ms[name] = _time_stage(run, name=name)
                 print(f"# {name}: {stage_ms[name]:.1f} ms "
                       f"(incl. compile {time.perf_counter()-t0:.0f}s)",
                       file=sys.stderr)
@@ -745,6 +936,21 @@ def _run_live():
                     break
                 except Exception as e:
                     print(f"# su2 cap {su2_cap} failed: {e}", file=sys.stderr)
+            exc_stats = {}
+            if os.environ.get("BENCH_EXC", "1") != "0":
+                try:
+                    from bench_excitations import heff_bench
+                    exc_stats = heff_bench(bench, cpu, dev)
+                    print(f"# exc: {exc_stats}", file=sys.stderr)
+                except Exception as e:
+                    print(f"# excitation bench failed: {e}", file=sys.stderr)
+            idmrg_stats = {}
+            if os.environ.get("BENCH_IDMRG2", "1") != "0":
+                try:
+                    idmrg_stats = idmrg2_sweep_bench(bench, dev, cpu)
+                except Exception as e:
+                    print(f"# idmrg2 sweep bench failed: {e}",
+                          file=sys.stderr)
             # the dict-path baseline runs LAST: its executable (one program
             # with thousands of small GEMMs) leaves the remote device slow
             # for everything that follows — SU(2) stages measured after it
@@ -759,7 +965,8 @@ def _run_live():
                 dict_ms = 0.0
             value_ms = min(fused_ms, total_ms) if fused_ms else total_ms
             tflops = total_flops / (value_ms * 1e-3) / 1e12 if value_ms else 0
-            _emit({
+            passes, throttled = _throttle_stats()
+            record = {
                 "metric": f"vumps_iteration_ms_chi{chi}",
                 "value": round(value_ms, 2),
                 "staged_sum_ms": round(total_ms, 2),
@@ -774,8 +981,33 @@ def _run_live():
                 "h_ac_matvec_ms": round(mv_ms, 3),
                 "h_ac_matvec_tflops": round(
                     mv_fl / (mv_ms * 1e-3) / 1e12, 3) if mv_ms else 0,
+                # raw per-group timings + throttle flag: round-over-round
+                # minima comparisons on a SHARED tunneled chip are only
+                # trustworthy when the spread was tight
+                "passes_ms": passes,
+                "throttled": throttled,
                 **su2_stats,
-            })
+                **exc_stats,
+                **idmrg_stats,
+            }
+            # checkpoint the micro record NOW: the e2e stage below runs a
+            # complete production solve (long; compile-heavy) and the
+            # driver's window may close during it — the last JSON line
+            # printed so far must already be a complete record
+            _emit(record)
+            if os.environ.get("BENCH_E2E", "1") != "0":
+                # release the micro bench's device buffers first: the e2e
+                # subprocess shares the one chip
+                del bench
+                try:
+                    e2e = _e2e_bench()
+                except Exception as e:
+                    import traceback
+                    traceback.print_exc(file=sys.stderr)
+                    e2e = {"e2e_note": f"e2e stage failed: {e}"}
+                if e2e:
+                    record.update(e2e)
+                    _emit(record)
             return
         except Exception as e:  # TPU tunnel flakiness: retry smaller
             last_err = e

@@ -27,17 +27,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    from bench import SweepBench, _time_stage
+def heff_bench(b, cpu, dev, K: int = 8) -> dict:
+    """Time the packed H_eff pipeline (serial + K-lane momentum-batched)
+    on an existing :class:`bench.SweepBench` structure; returns the stat
+    fields merged into the driver-captured bench JSON
+    (/root/reference/src/HubbardFunctions.jl:1206-1208 is the matching
+    HOT path: the per-momentum Arnoldi excitation solve)."""
+    from bench import _time_stage
     from hubbardtn_tpu.algorithms.environments import Environments
     from hubbardtn_tpu.algorithms.excitations import QuasiparticleProblem
     from hubbardtn_tpu.mps.imps import UniformMPS
     from hubbardtn_tpu.tensor import linalg as tla
 
-    cpu = jax.devices("cpu")[0]
     t0 = time.perf_counter()
     with jax.default_device(cpu):
-        b = SweepBench(64)
         # isometric gauge: polar factors of the random AC matricizations, so
         # the mixed transfer operators have spectral radius ~1 (the timing
         # needs realistic, well-conditioned programs, not physics)
@@ -48,15 +51,13 @@ def main():
             C = b.Cs[x]
             Cs.append(C * (1.0 / C.norm()))
         psi = UniformMPS(ALs, ARs, Cs)
-        print(f"# build+gauge {time.perf_counter()-t0:.1f}s chi {b.chi}",
+        print(f"# exc build+gauge {time.perf_counter()-t0:.1f}s chi {b.chi}",
               file=sys.stderr)
         t0 = time.perf_counter()
         envs = Environments(psi, b.H, tol=1e-8)
         prob = QuasiparticleProblem(psi, b.H, envs, _hole_sector(b.H))
-        print(f"# problem {time.perf_counter()-t0:.1f}s "
+        print(f"# exc problem {time.perf_counter()-t0:.1f}s "
               f"n_params {prob.n_params}", file=sys.stderr)
-
-    dev = jax.devices()[0]
     phase = jnp.asarray(np.exp(0.7j), dtype=jnp.complex128)
     pre, restartL, restartR, post = prob._programs(False)
     rng = np.random.default_rng(0)
@@ -92,7 +93,6 @@ def main():
     # default path of a K-momentum excitations() scan).  Per-momentum cost
     # should drop well below the serial composite — the serial programs
     # underutilize the MXU and pay the tunnel dispatch per stage.
-    K = 8
     ks = np.linspace(0.1, np.pi, K)
     ph_b = jnp.asarray(np.exp(1j * ks), dtype=jnp.complex128)
     with jax.default_device(cpu):
@@ -115,17 +115,35 @@ def main():
     ms_post_b = _time_stage(lambda: post_b(Vb, lb_b, rb_b))
     comp_b = (ms_pre_b + 2 * (ms_rl_b + ms_rr_b) + ms_post_b) / K
 
+    return {
+        "exc_heff_ms": round(composite, 2),
+        "exc_heff_breakdown_ms": {"pre": round(ms_pre, 2),
+                                  "gmres_restart_L": round(ms_rl, 2),
+                                  "gmres_restart_R": round(ms_rr, 2),
+                                  "post": round(ms_post, 2)},
+        "exc_batched_per_momentum_ms": round(comp_b, 2),
+        "exc_batched_lanes": K,
+        # dispersion throughput of the production momentum-batched path
+        "exc_lanes_per_s": round(1e3 / comp_b, 1) if comp_b else 0.0,
+    }
+
+
+def main():
+    from bench import SweepBench
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        b = SweepBench(64)
+    dev = jax.devices()[0]
+    stats = heff_bench(b, cpu, dev)
     print(json.dumps({
         "metric": f"exc_heff_ms_chi{b.chi}",
-        "value": round(composite, 2),
+        "value": stats["exc_heff_ms"],
         "unit": "ms",
-        "vs_baseline": round(composite / comp_b, 1),
-        "breakdown_ms": {"pre": round(ms_pre, 2),
-                         "gmres_restart_L": round(ms_rl, 2),
-                         "gmres_restart_R": round(ms_rr, 2),
-                         "post": round(ms_post, 2)},
-        "batched_per_momentum_ms": round(comp_b, 2),
-        "batched_lanes": K,
+        "vs_baseline": round(stats["exc_heff_ms"]
+                             / max(stats["exc_batched_per_momentum_ms"],
+                                   1e-9), 1),
+        **stats,
         "note": "composite = pre + 2*(restartL+restartR) + post; c64 on "
                 "TPU; vs_baseline = serial / batched-per-momentum",
     }))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..mpo.fsm import MPOHamiltonian
@@ -180,11 +181,15 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                         max_rounds: int = 8, max_bond: Optional[int] = None,
                         seed: int = 1, round_iters: int = 40,
                         final_iters: int = 200, algorithm: str = "auto",
-                        grassmann_iters: int = 20) -> dict:
+                        grassmann_iters: int = 20, dtype=None) -> dict:
     """Reference-compatible entry (:993-1030): returns a dict with the
     ground state, environments, Hamiltonian, and convergence error.  For a
     grand-canonical model with a target filling, runs the mu search
-    (:1032-1126)."""
+    (:1032-1126).
+
+    ``dtype`` pins the working precision of the whole solve (state AND
+    MPO) — e.g. float32 to emulate/serve the TPU chip even when x64 is
+    enabled; None keeps the platform default."""
     from ..models.hubbard import OBCSim, hamiltonian
     if isinstance(sim, OBCSim) and sim.f is not None:
         return _mu_search(sim, tol=tol, verbosity=verbosity,
@@ -192,11 +197,20 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
                           round_iters=round_iters, final_iters=final_iters,
                           algorithm=algorithm, grassmann_iters=grassmann_iters)
     H = hamiltonian(sim)
+    if dtype is not None and (jnp.dtype(dtype)
+                              != jnp.dtype(next(iter(H.Ws[0].values())).dtype)):
+        from .refine import cast_hamiltonian
+        H = cast_hamiltonian(H, dtype)
     # T=1 needs an extra fusion cell for a non-trivial initial bond window
     cells = 2 if sim.T == 1 else 1
+    init_kw = {}
+    if dtype is not None:
+        init_kw["dtype"] = dtype
+        if jnp.dtype(dtype).itemsize < 8:
+            init_kw["tol"] = 1e-5  # f32 gauge floor
     psi = initialize_mps(H.site.group, H.site.space, sim.T,
                          bond_dim=getattr(sim, "bond_dim", 50), seed=seed,
-                         cells=cells)
+                         cells=cells, **init_kw)
     res = find_groundstate(psi, H, svalue=getattr(sim, "svalue", 2.0),
                            tol=tol, max_rounds=max_rounds, max_bond=max_bond,
                            round_iters=round_iters, final_iters=final_iters,
@@ -208,6 +222,7 @@ def compute_groundstate(sim, tol: float = 1e-8, verbosity: int = 0,
         "ham": H,
         "delta": res.error,
         "energy": res.energy,
+        "iterations": res.iterations,
         "config": sim,
     }
     if isinstance(sim, OBCSim):

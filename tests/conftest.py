@@ -16,6 +16,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
+def pytest_collection_modifyitems(config, items):
+    """Every test without a slow/deep/heavy marker is ``quick``: the
+    sub-5-minute smoke tier (``pytest -m quick``)."""
+    for item in items:
+        if not any(item.get_closest_marker(m)
+                   for m in ("slow", "deep", "heavy")):
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True)
 def _clear_jax_caches():
     """Drop compiled executables between tests.

@@ -720,25 +720,37 @@ def _e2e_bench():
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line), p.stderr
 
-    solve_env = {"HTN_COMPILE_CACHE": cache_dir, "JAX_LOG_COMPILES": "1"}
+    solve_env = {"HTN_COMPILE_CACHE": cache_dir, "JAX_LOG_COMPILES": "1",
+                 # compile cost scales with the number of bond structures
+                 # (minutes of XLA each): double bonds per expansion round
+                 "HTN_GROW_FACTOR": "1.0"}
     try:
+        # ASCENDING ladder sharing one compile cache: the 512 rung is the
+        # true cold measurement (every structure compiles); the larger
+        # rungs repeat the same expansion prefix cache-warm and only
+        # compile their new structures, so each rung's wall isolates the
+        # incremental compile + solve cost of the extra chi.
         cold = None
-        for max_bond in (2048, 1024, 512):
+        for max_bond in (512, 2048):
             left = deadline - time.time()
-            if left < 300:
+            if left < 300 or (cold is not None
+                             and left < 1.2 * out["e2e_solve_s_cold"]):
                 break
             try:
                 args = ["--max-bond", str(max_bond), "--save", state_path]
                 t0 = time.perf_counter()
-                cold, err = run("solve", args, solve_env,
-                                timeout=max(left - 60, 300))
+                res, err = run("solve", args, solve_env,
+                               timeout=max(left - 60, 300))
+                wall = round(time.perf_counter() - t0, 1)
+                tag = "_cold" if cold is None else f"_chi{max_bond}"
+                out[f"e2e_solve_s{tag}"] = wall
+                out[f"e2e_n_recompiles{tag}"] = _count_compiles(err)
                 out["e2e_max_bond"] = max_bond
-                out["e2e_solve_s_cold"] = round(time.perf_counter() - t0, 1)
-                out["e2e_n_recompiles_cold"] = _count_compiles(err)
-                break
+                cold = res
             except subprocess.TimeoutExpired:
-                print(f"# e2e cold max_bond={max_bond} exceeded budget",
+                print(f"# e2e max_bond={max_bond} exceeded budget",
                       file=sys.stderr)
+                break
         if cold is None:
             out["e2e_note"] = "cold solve exceeded BENCH_E2E_BUDGET_S"
             return out

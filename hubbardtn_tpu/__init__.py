@@ -12,6 +12,21 @@ Public API mirrors the reference's exports
 
 import os as _os
 
+# Strict-f32 matmul passes by default (HTN_MATMUL_PRECISION overrides,
+# e.g. "default" restores the platform default).  TPU XLA's default
+# matmul precision runs f32 contractions through bfloat16 passes; that
+# is fine for inference-style workloads but NOT for this solver: the
+# polar-express gauge amplifies small singular directions by ~3.4x per
+# step and bf16-level contraction error destabilizes it — the fused f32
+# VUMPS driver NaN'd within 40 iterations from a random start on the
+# chip, while the identical program at "highest" matches the CPU-f32
+# trajectory.  The workload is latency-bound, not MXU-bound, so the
+# extra matmul passes are nearly free at production sizes.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("HTN_MATMUL_PRECISION", "highest"))
+
 if _os.environ.get("HTN_COMPILE_CACHE"):
     # Persistent XLA compilation cache (opt-in): the fused whole-iteration
     # programs cost 1-3 min of XLA compile each on TPU, and the driver

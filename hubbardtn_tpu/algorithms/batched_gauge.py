@@ -306,6 +306,20 @@ class PolarGaugePlan:
                 self.pos[(side, r)] = (ck, len(self.classes[ck]))
                 self.classes[ck].append((side, r))
         self.class_keys = sorted(self.classes.keys())
+        # global per-sector index tables for the class-batched assembly:
+        # the C-matrix sides (cr / cl) scatter into one sector-indexed
+        # stack; the AC sides gather their bond sector's partner from it
+        # (apply() does the AL/AR products and gauge errors entirely in
+        # the class-stack domain — per-sector GEMM/absorb/norm soup was
+        # the measured majority of the gauge stage at chi ~ 2752)
+        self.gpad = max([max(ck) for ck in self.class_keys
+                         if any(s in ("cr", "cl")
+                                for s, _r in self.classes[ck])] or [1])
+        self.gsec = {}
+        for side in ("cr", "cl"):
+            m = self.meta[side]
+            self.gsec[side] = {r: i for i, r in enumerate(
+                r_ for r_ in m.sectors if r_ not in m.fallback)}
         self._sig = (tuple((s, self.meta[s]._sig()) for s in self.SIDES),
                      self.iters)
 
@@ -380,12 +394,139 @@ class PolarGaugePlan:
         return out
 
     def apply(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor):
+        import os
+        if (any(self.meta[s].fallback for s in self.SIDES)
+                or os.environ.get("HTN_GAUGE_ASSEMBLY", "") == "dict"):
+            return self._apply_dict(AC, Cl, Cr)
+        return self._apply_batched(AC, Cl, Cr)
+
+    def _apply_dict(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor):
+        """Per-sector assembly path (wide transients only): factor dicts,
+        per-sector products, full-tensor error norms."""
         F = self._factors({"ac2": AC, "cr": Cr, "ac1": AC, "cl": Cl})
         AL = tensordot(F["ac2"], F["cr"].conj(), axes=([2], [1]))
         AR = tensordot(F["cl"].conj(), F["ac1"], axes=([0], [0]))
         dl = (AC - absorb_bond_right(AL, Cr)).norm()
         dr = (AC - absorb_bond_left(Cl, AR)).norm()
         return AL, AR, dl, dr
+
+    def _apply_batched(self, AC: SymTensor, Cl: SymTensor, Cr: SymTensor):
+        """Class-batched assembly: the AL/AR products and the gauge
+        errors are computed inside the bucket stacks (one einsum per
+        class) instead of per sector.  Mathematically identical to
+        ``_apply_dict`` — the per-sector relations are
+        AL_q = U_ac2_q U_cr_q^dag, AR_q = U_cl_q conj(U_ac1_q)^T,
+        dl^2 = sum_q ||X_ac2_q - AL_q X_cr_q||^2, and (in the stored
+        tall conj-transposed orientation of the right sides)
+        dr^2 = sum_q ||X_ac1_q - conj(AR_q)^T X_cl_q||^2 — the measured
+        gauge stage at chi ~ 2752 was dominated by the per-sector
+        GEMM/absorb/norm op soup, not by the NS chains."""
+        tensors = {"ac2": AC, "cr": Cr, "ac1": AC, "cl": Cl}
+        dtype = AC.dtype
+        rdt = jnp.real(jnp.zeros((), dtype)).dtype
+        mats, infos = {}, {}
+        for side in self.SIDES:
+            mm, ri, ci = matricize(tensors[side], self.meta[side].nrows)
+            mats[side] = mm
+            infos[side] = (ri, ci)
+
+        # tall class stacks of the matricizations + their polar factors
+        X: Dict = {}
+        for ck in self.class_keys:
+            entries = self.classes[ck]
+            Xc = jnp.zeros((len(entries),) + ck, dtype=dtype)
+            for i, (side, r) in enumerate(entries):
+                m = mats[side].get(r)
+                if m is None:
+                    continue
+                if self.meta[side].right:
+                    m = jnp.swapaxes(jnp.conj(m), 0, 1)
+                Xc = Xc.at[i, :m.shape[0], :m.shape[1]].set(m)
+            X[ck] = Xc
+        U = {ck: _ns_polar_stack(X[ck], self.iters) for ck in self.class_keys}
+
+        # global sector-indexed stacks of the C sides (raw + polar);
+        # the extra last slot stays zero and absorbs non-AC gathers
+        P = self.gpad
+        G: Dict = {}
+        for side in ("cr", "cl"):
+            nq = len(self.gsec[side])
+            GX = jnp.zeros((nq + 1, P, P), dtype=dtype)
+            GU = jnp.zeros((nq + 1, P, P), dtype=dtype)
+            for ck in self.class_keys:
+                slots = np.array([i for i, (s, _r) in
+                                  enumerate(self.classes[ck]) if s == side])
+                if slots.size == 0:
+                    continue
+                gidx = np.array([self.gsec[side][self.classes[ck][i][1]]
+                                 for i in slots])
+                pad = ((0, 0), (0, P - ck[0]), (0, P - ck[1]))
+                GX = GX.at[gidx].set(jnp.pad(X[ck][slots], pad))
+                GU = GU.at[gidx].set(jnp.pad(U[ck][slots], pad))
+            G[side] = (GX, GU)
+
+        AL_stacks: Dict = {}
+        AR_stacks: Dict = {}
+        dl2 = jnp.zeros((), rdt)
+        dr2 = jnp.zeros((), rdt)
+        for ck in self.class_keys:
+            entries = self.classes[ck]
+            _R, C = ck
+            zero_cr = len(self.gsec["cr"])
+            zero_cl = len(self.gsec["cl"])
+            idx_cr = np.array([self.gsec["cr"].get(r, zero_cr)
+                               if s == "ac2" else zero_cr
+                               for (s, r) in entries])
+            idx_cl = np.array([self.gsec["cl"].get(r, zero_cl)
+                               if s == "ac1" else zero_cl
+                               for (s, r) in entries])
+            if np.any(idx_cr != zero_cr):
+                GXcr, GUcr = G["cr"]
+                Ucr = GUcr[idx_cr][:, :C, :C]
+                Xcr = GXcr[idx_cr][:, :C, :C]
+                ALc = jnp.einsum("nrb,ncb->nrc", U[ck], jnp.conj(Ucr))
+                Y = jnp.einsum("nrc,ncd->nrd", ALc, Xcr)
+                mask = jnp.asarray((idx_cr != zero_cr).astype(np.float32),
+                                   rdt)
+                dl2 = dl2 + jnp.sum(
+                    jnp.abs(X[ck] - Y) ** 2 * mask[:, None, None])
+                AL_stacks[ck] = ALc
+            if np.any(idx_cl != zero_cl):
+                GXcl, GUcl = G["cl"]
+                Ucl = GUcl[idx_cl][:, :C, :C]
+                Xcl = GXcl[idx_cl][:, :C, :C]
+                ARc = jnp.einsum("ncb,nrb->ncr", Ucl, jnp.conj(U[ck]))
+                Z = jnp.einsum("ncr,ncd->nrd", jnp.conj(ARc), Xcl)
+                mask = jnp.asarray((idx_cl != zero_cl).astype(np.float32),
+                                   rdt)
+                dr2 = dr2 + jnp.sum(
+                    jnp.abs(X[ck] - Z) ** 2 * mask[:, None, None])
+                AR_stacks[ck] = ARc
+
+        # dematricize AL / AR straight out of the class stacks
+        ri2 = infos["ac2"][0]
+        ci1 = infos["ac1"][1]
+        al_blocks: Dict = {}
+        ar_blocks: Dict = {}
+        for r in self.meta["ac2"].sectors:
+            ck, slot = self.pos[("ac2", r)]
+            chi = self.meta["ac2"].shapes[r][1]
+            for rkey, roff, rshape in ri2.entries.get(r, ()):
+                rsize = int(np.prod(rshape)) if rshape else 1
+                al_blocks[rkey + (r,)] = AL_stacks[ck][
+                    slot, roff:roff + rsize, :chi].reshape(rshape + (chi,))
+        for r in self.meta["ac1"].sectors:
+            ck, slot = self.pos[("ac1", r)]
+            chi = self.meta["ac1"].shapes[r][0]
+            for ckey, coff, cshape in ci1.entries.get(r, ()):
+                csize = int(np.prod(cshape)) if cshape else 1
+                ar_blocks[(r,) + ckey] = AR_stacks[ck][
+                    slot, :chi, coff:coff + csize].reshape((chi,) + cshape)
+        AL = SymTensor(AC.group, (AC.spaces[0], AC.spaces[1], Cr.spaces[0]),
+                       AC.arrows, al_blocks, AC.charge, dtype)
+        AR = SymTensor(AC.group, (Cl.spaces[1], AC.spaces[1], AC.spaces[2]),
+                       AC.arrows, ar_blocks, AC.charge, dtype)
+        return AL, AR, jnp.sqrt(dl2), jnp.sqrt(dr2)
 
 
 @partial(jax.jit, static_argnames=("plan",))

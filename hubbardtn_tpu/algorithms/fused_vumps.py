@@ -366,8 +366,12 @@ def vumps_fused_loop(psi, H, envs, tol: float, maxiter: int,
     energy = float(jnp.real(envs.energy_per_site))
     history: List[dict] = []
     converged = False
-    ALs = list(psi.ALs)
-    ARs = list(psi.ARs)
+    # full allowed-block tables: the multi-iteration scan's
+    # converged passthrough (lax.cond) requires the carried
+    # ALs/ARs to have the same pytree as the step outputs, and
+    # expansion points hand in states with partial tables
+    ALs = [full_blocks(t) for t in psi.ALs]
+    ARs = [full_blocks(t) for t in psi.ARs]
     # ship the carry to the accelerator ONCE; every iteration after runs
     # on committed device arrays (the host only reads two scalars)
     (ACs, Cs, GLstk, GRstk, yL, yR, ALs, ARs) = to_accel(

@@ -311,8 +311,12 @@ def vumps_fused_loop_su2(psi, H, envs, tol: float, maxiter: int,
     energy = float(jnp.real(envs.energy_per_site))
     history: List[dict] = []
     converged = False
-    ALs = list(psi.ALs)
-    ARs = list(psi.ARs)
+    # full allowed-block tables: the multi-iteration scan's
+    # converged passthrough (lax.cond) requires the carried
+    # ALs/ARs to have the same pytree as the step outputs, and
+    # expansion points hand in states with partial tables
+    ALs = [full_blocks(t) for t in psi.ALs]
+    ARs = [full_blocks(t) for t in psi.ARs]
     # ship the carry to the accelerator ONCE (see fused_vumps.py)
     (ACs, Cs, EL, ER, yL, yR, ALs, ARs) = to_accel(
         (ACs, Cs, EL, ER, yL, yR, ALs, ARs))

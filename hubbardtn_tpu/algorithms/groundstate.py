@@ -100,7 +100,13 @@ def _vumps_expand(psi: UniformMPS, H: MPOHamiltonian, cutoff: float,
         prev_dims = dims
         if max_bond is not None and dims >= max_bond * psi.T:
             return _best_candidate(candidates)
-        grow = max(4, int(0.5 * dims / psi.T))
+        import os
+        # HTN_GROW_FACTOR: bond growth per expansion round (default +50%).
+        # Each bond structure costs minutes of XLA compile on TPU, so
+        # compile-bound end-to-end solves (bench_e2e) set 1.0 (doubling)
+        # to halve the number of structures on the way to the target chi.
+        gf = float(os.environ.get("HTN_GROW_FACTOR", "0.5"))
+        grow = max(4, int(gf * dims / psi.T))
         if rnd == max_rounds - 1:
             # budget exhausted: polish the best truncation-stable state
             return _best_candidate(candidates)

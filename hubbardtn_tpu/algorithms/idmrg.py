@@ -151,27 +151,64 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
               and all(op.ndim == 4 for W in H.Ws for op in W.values())):
             from ..mpo.su2_pack import PackedMPOSU2
             pm = PackedMPOSU2(H)
+    cutoff = trscheme.cutoff or 0.0
+    growing = bool(adapt_every)
+    keep_before_expand = None
     for it in range(maxiter):
         psi = _sweep(psi, H, envs, max(tol * 1e-2, 1e-12), krylov_dim, pm=pm)
         # within-sweep block structure is fixed: the previous sweep's
         # boundary environments warm-start the GMRES geometric sums
         envs = Environments(psi, H, tol=1e-12, prev=envs)
         adapted = False
+        # Bond adaptation with hysteresis.  Trim only when the truncbelow
+        # cut discards REAL fat (<90% kept: the oversized fusion-window
+        # init, or an expansion that overshot) — trimming borderline
+        # weight from an unconverged state oscillates, each cut swinging
+        # the energy by up to 1e-1.  Otherwise grow (expansion capped at
+        # the trscheme bond cap) until an expansion fails to convert into
+        # above-cutoff weight: consecutive cut-kept totals within 5%
+        # (the reference's rtol criterion) stop the growth phase, and the
+        # remaining sweeps run at fixed structure to convergence.
+        # truncbelow semantics are enforced by one final cut at the end,
+        # which by saturation discards only sub-cutoff weight.
         if adapt_every and (it + 1) % adapt_every == 0:
             psi_t = svd_cut(psi, trscheme)
             dims_t = sum(psi_t.bond_dims())
-            if dims_t < prev_dims:
+            at_cap = (trscheme.max_dim is not None
+                      and all(d >= trscheme.max_dim
+                              for d in psi.bond_dims()))
+            if dims_t < 0.90 * prev_dims:
+                # real sub-cutoff fat (the oversized fusion-window init,
+                # or an expansion that overshot): compact
                 psi, adapted = psi_t, True
-            elif dims_t >= prev_dims:
-                grow = max(4, prev_dims // (2 * psi.T))
-                psi_e = expand_bonds(psi, H, envs,
-                                     tla.Truncation(rel_cutoff=1e-8,
-                                                    max_dim=grow))
-                if sum(psi_e.bond_dims()) > prev_dims * 1.02:
-                    psi, adapted = psi_e, True
+            elif growing and not at_cap:
+                if (keep_before_expand is not None
+                        and dims_t <= keep_before_expand * 1.05):
+                    # reference 5%-rtol semantics across EXPANSION events:
+                    # the last expansion produced no new above-cutoff
+                    # weight, so the truncbelow structure is saturated
+                    growing = False
+                else:
+                    keep_before_expand = dims_t
+                    grow = max(4, prev_dims // (2 * psi.T))
+                    psi_e = expand_bonds(psi, H, envs,
+                                         tla.Truncation(rel_cutoff=1e-8,
+                                                        max_dim=grow))
+                    if trscheme.max_dim is not None and any(
+                            d > trscheme.max_dim
+                            for d in psi_e.bond_dims()):
+                        # cap-trim only the freshly-added tail directions
+                        psi_e = svd_cut(psi_e, tla.Truncation(
+                            max_dim=trscheme.max_dim))
+                    if sum(psi_e.bond_dims()) > prev_dims:
+                        psi, adapted = psi_e, True
+                    else:
+                        growing = False  # expansion found nothing new
+            elif growing:
+                growing = False          # every bond at the cap
             if adapted:
-                # drop compiled programs for the stale block structure
-                # (accumulating them across adaptations OOMs XLA CPU)
+                # drop compiled programs for the stale structure
+                # (they accumulate and OOM XLA CPU)
                 jax.clear_caches()
                 envs = Environments(psi, H, tol=1e-12)
                 prev_dims = sum(psi.bond_dims())
@@ -183,9 +220,18 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
         if verbosity >= 2:
             print(f"[idmrg2] it={it:3d} e={energy:+.12f} dE={err:.2e} "
                   f"bonds={psi.bond_dims()}{' *' if adapted else ''}")
-        if err < tol and not adapted and it > 2:
+        if err < tol and not adapted and not growing and it > 2:
             converged = True
             break
+    # final truncbelow enforcement: at saturation this discards only
+    # sub-cutoff Schmidt weight (reference IDMRG2 trscheme semantics,
+    # /root/reference/src/HubbardFunctions.jl:1009-1010)
+    psi_t = svd_cut(psi, trscheme)
+    if sum(psi_t.bond_dims()) < sum(psi.bond_dims()):
+        psi = psi_t
+        jax.clear_caches()
+        envs = Environments(psi, H, tol=1e-12)
+        energy = float(jnp.real(envs.energy_per_site))
     if verbosity >= 1:
         print(f"[idmrg2] done: e={energy:+.12f} dE={err:.2e} "
               f"bonds={psi.bond_dims()}")

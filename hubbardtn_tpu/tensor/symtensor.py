@@ -71,7 +71,13 @@ class SymTensor:
         self.blocks = blocks
         if dtype is None:
             dtype = next(iter(blocks.values())).dtype if blocks else jnp.float64
-        self.dtype = jnp.dtype(dtype)
+        # canonicalize against the x64 setting: without it a tensor
+        # built with a float64 request on a non-x64 runtime would
+        # DECLARE float64 while its blocks are truncated to float32,
+        # and the declared dtype is pytree metadata - mixed declared
+        # dtypes then break lax.cond/scan branch matching on TPU
+        import jax as _jax
+        self.dtype = jnp.dtype(_jax.dtypes.canonicalize_dtype(dtype))
 
     # ------------------------------------------------------------------
     # constructors

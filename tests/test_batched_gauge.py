@@ -147,3 +147,31 @@ def test_express_schedule_fewer_matmuls_and_more_accurate():
     for x, u in zip(Xs, Ue[:, :R, :C]):
         W, _, Vh = np.linalg.svd(x, full_matrices=False)
         assert np.linalg.norm(u - W @ Vh) < 1e-8
+
+
+def test_batched_assembly_matches_dict_path():
+    """The class-batched AL/AR assembly + stack-domain gauge errors
+    (PolarGaugePlan._apply_batched, the production path) are block-exact
+    against the per-sector dict assembly (_apply_dict)."""
+    sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
+    H = hamiltonian(sim)
+    psi = initialize_mps(H.site.group, H.site.space, sim.T, bond_dim=12,
+                         seed=5, cells=2)
+    from hubbardtn_tpu.solvers.krylov import full_blocks
+    for x in range(psi.T):
+        AC = full_blocks(psi.AC(x))
+        Cl, Cr = psi.Cs[(x - 1) % psi.T], psi.Cs[x]
+        plan = PolarGaugePlan(AC, Cl, Cr)
+        if any(plan.meta[s].fallback for s in plan.SIDES):
+            continue  # wide transient: batched path not taken
+        ALd, ARd, dld, drd = plan._apply_dict(AC, Cl, Cr)
+        ALb, ARb, dlb, drb = plan._apply_batched(AC, Cl, Cr)
+        assert set(ALd.blocks) == set(ALb.blocks)
+        for k in ALd.blocks:
+            np.testing.assert_allclose(np.asarray(ALb.blocks[k]),
+                                       np.asarray(ALd.blocks[k]), atol=1e-11)
+        for k in ARd.blocks:
+            np.testing.assert_allclose(np.asarray(ARb.blocks[k]),
+                                       np.asarray(ARd.blocks[k]), atol=1e-11)
+        assert abs(float(dld) - float(dlb)) < 1e-10
+        assert abs(float(drd) - float(drb)) < 1e-10

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hubbardtn_tpu.algorithms.batched_env import (RegLeftPackedPlan,
                                                   RegRightPackedPlan)
@@ -22,6 +23,7 @@ def _state():
     return H, psi
 
 
+@pytest.mark.heavy
 def test_packed_reg_left_matches_dict():
     H, psi = _state()
     g = psi.group
@@ -44,6 +46,7 @@ def test_packed_reg_left_matches_dict():
                                    atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_packed_reg_right_matches_dict():
     H, psi = _state()
     g = psi.group
@@ -66,6 +69,7 @@ def test_packed_reg_right_matches_dict():
                                    atol=1e-12)
 
 
+@pytest.mark.slow
 def test_environments_energy_unchanged():
     """End to end: Environments with the packed GMRES reproduces the
     energy of a converged small state (free fermions, golden -4/pi area)."""

@@ -35,6 +35,7 @@ def _compare(sim, bond_dim=6, seed=3):
     MBSim(t=[[0.5, 0.1], [0.1, 0.6]], u=[[2.0, 0.0], [0.0, 2.0]],
           J=[[0.0, 0.1], [0.1, 0.0]], P=1, Q=1),               # 2-band
 ], ids=["OB", "OBC-grand", "MB2"])
+@pytest.mark.slow
 def test_ab_packed_envs_match_dict(sim, monkeypatch):
     H, psi = _compare(sim)
     monkeypatch.setenv("HTN_NO_ENV_PACK", "1")
@@ -47,6 +48,7 @@ def test_ab_packed_envs_match_dict(sim, monkeypatch):
     _assert_env_dicts_match(e_dict.GRs, e_pack.GRs)
 
 
+@pytest.mark.slow
 def test_engine_stacks_match_repacked_dicts():
     """The stacked arrays Environments exposes (GL_stacks/GR_stacks) equal
     the dict -> pack_env -> pack_gl repack on layout-matched plans — the
@@ -80,6 +82,7 @@ def test_engine_stacks_match_repacked_dicts():
                                        atol=1e-13)
 
 
+@pytest.mark.slow
 def test_vumps_passthrough_matches_dict_envs(monkeypatch):
     """Two VUMPS iterations with the engine passthrough reproduce the dict
     environments' energies."""
@@ -94,6 +97,7 @@ def test_vumps_passthrough_matches_dict_envs(monkeypatch):
     assert abs(r_dict.energy - r_pack.energy) < 1e-8
 
 
+@pytest.mark.slow
 def test_ab_packed_env_warm_start():
     """A second refresh with prev= warm start reproduces the same fixed
     point (and exercises the x0 packing path)."""

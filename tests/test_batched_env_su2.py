@@ -31,6 +31,7 @@ def _assert_env_dicts_match(d_envs, p_envs):
                     atol=1e-9, err_msg=f"env[{x}][{a}] {k}")
 
 
+@pytest.mark.slow
 def test_su2_packed_envs_match_dict(setup, monkeypatch):
     H, psi = setup
     monkeypatch.setenv("HTN_NO_SU2_ENV_PACK", "1")
@@ -43,6 +44,7 @@ def test_su2_packed_envs_match_dict(setup, monkeypatch):
     _assert_env_dicts_match(e_dict.GRs, e_pack.GRs)
 
 
+@pytest.mark.heavy
 def test_su2_packed_env_warm_start(setup):
     """A second refresh with prev= warm start reproduces the same fixed
     point (and exercises the x0 packing path)."""

@@ -35,6 +35,7 @@ def _setup(sim):
                   u=np.diag([2.0, 1.5]), J=np.zeros((2, 2)),
                   P=2, Q=1, su2=True),
 ], ids=["OB", "MB2"])
+@pytest.mark.heavy
 def test_padded_hac_su2_matches_dict(simf):
     H, psi, GL, GR = _setup(simf())
     AC = full_blocks(psi.AC(0))
@@ -53,6 +54,7 @@ def test_padded_hac_su2_matches_dict(simf):
                                np.asarray(out_v), atol=0)
 
 
+@pytest.mark.heavy
 def test_padded_hc_su2_matches_dict():
     H, psi, GL, GR = _setup(OBSim(t=(1.0,), u=(2.0,), P=1, Q=1, su2=True))
     g = H.site.group
@@ -72,6 +74,7 @@ def test_padded_hc_su2_matches_dict():
                                np.asarray(plan.pack_vec(ref)), atol=1e-11)
 
 
+@pytest.mark.slow
 def test_su2_vumps_batched_equals_dict(monkeypatch):
     """Full SU(2) VUMPS trajectories agree between the bucketed batched and
     per-transition paths (same seed, same iterations)."""
@@ -86,6 +89,7 @@ def test_su2_vumps_batched_equals_dict(monkeypatch):
     assert abs(e_dict - e_packed) < 1e-9
 
 
+@pytest.mark.heavy
 def test_packed_hac2_su2_matches_dict():
     """IDMRG2's channel-packed two-site matvec on the SU(2) backend == the
     per-path dict loop (same _PackedHAC2Plan via tensor-type dispatch)."""

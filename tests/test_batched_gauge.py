@@ -9,6 +9,7 @@ right-isometry path in float64.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hubbardtn_tpu.algorithms.batched_gauge import (PolarGaugePlan,
                                                     gauge_site_polar)
@@ -30,6 +31,7 @@ def _consistent_point():
     return AC, Cl, Cr, AL, AR
 
 
+@pytest.mark.heavy
 def test_polar_gauge_recovers_isometries():
     AC, Cl, Cr, AL, AR = _consistent_point()
     plan = PolarGaugePlan(AC, Cl, Cr, iters=40)
@@ -85,6 +87,7 @@ def test_quintic_legacy_int_schedule_is_pure_ns():
     assert _norm_schedule((10, 6)) == (10, 6)
 
 
+@pytest.mark.heavy
 def test_polar_gauge_matches_qr_errors_random():
     """On a random (inconsistent) AC the polar and QR gauges differ, but
     both must produce exact isometries and comparable gauge errors."""
@@ -149,6 +152,7 @@ def test_express_schedule_fewer_matmuls_and_more_accurate():
         assert np.linalg.norm(u - W @ Vh) < 1e-8
 
 
+@pytest.mark.heavy
 def test_batched_assembly_matches_dict_path():
     """The class-batched AL/AR assembly + stack-domain gauge errors
     (PolarGaugePlan._apply_batched, the production path) are block-exact

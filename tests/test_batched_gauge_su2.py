@@ -21,6 +21,7 @@ def gauge_point():
     return vumps(psi, H, tol=1e-8, maxiter=6).psi
 
 
+@pytest.mark.heavy
 def test_su2_polar_gauge_matches_qr(gauge_point):
     psi = gauge_point
     for x in range(psi.T):

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hubbardtn_tpu.algorithms.batched_hac import build_padded_hac
 from hubbardtn_tpu.algorithms.vumps import apply_H_AC, apply_H_C
@@ -63,6 +64,7 @@ def test_bucketed_batched_matvec_matches():
                                    atol=1e-14)
 
 
+@pytest.mark.heavy
 def test_vumps_batched_equals_dict_grand_site(monkeypatch):
     """VUMPS on the grand site must give identical trajectories on the
     batched and per-channel dict paths."""

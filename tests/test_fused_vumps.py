@@ -31,6 +31,7 @@ def test_fused_path_is_taken(monkeypatch):
     assert all("fused" in h["stage_ms"] for h in res.history)
 
 
+@pytest.mark.heavy
 def test_fused_matches_staged_full_band(monkeypatch):
     # P/Q = 2: the exactly-solvable full-band insulator on a T=1 cell;
     # random bond_dim-6 init still exercises every fused stage
@@ -44,6 +45,7 @@ def test_fused_matches_staged_full_band(monkeypatch):
     assert rf.error < 1e-6 and rs.error < 1e-6
 
 
+@pytest.mark.slow
 def test_fused_matches_staged_T2(monkeypatch):
     # gapped (Mott) point: converges well inside the iteration budget
     rf = _run(monkeypatch, fused=True, PQ=(1, 1), u=6.0, bond_dim=5,
@@ -56,6 +58,7 @@ def test_fused_matches_staged_T2(monkeypatch):
     assert abs(rf.energy - rs.energy) < 5e-7
 
 
+@pytest.mark.slow
 def test_fused_free_fermion_energy(monkeypatch):
     """The fused driver reaches the same golden value the staged test pins
     (E -> -4/pi at chi -> inf; atol matches tests/test_groundstate.py)."""
@@ -85,12 +88,14 @@ def _run_su2(monkeypatch, fused: bool, u: float = 2.0, bond_dim: int = 4,
     return vumps(psi, H, tol=tol, maxiter=maxiter)
 
 
+@pytest.mark.slow
 def test_fused_su2_path_is_taken(monkeypatch):
     res = _run_su2(monkeypatch, fused=True)
     assert res.converged
     assert all("fused" in h["stage_ms"] for h in res.history)
 
 
+@pytest.mark.slow
 def test_fused_su2_matches_staged(monkeypatch):
     rf = _run_su2(monkeypatch, fused=True)
     rs = _run_su2(monkeypatch, fused=False)
@@ -101,6 +106,7 @@ def test_fused_su2_matches_staged(monkeypatch):
     assert abs(rf.energy - rs.energy) < 5e-7
 
 
+@pytest.mark.slow
 def test_fused_su2_envs_consistent(monkeypatch):
     res = _run_su2(monkeypatch, fused=True)
     e_env = float(np.real(res.envs.energy_per_site))

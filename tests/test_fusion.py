@@ -172,6 +172,7 @@ def _matlike_eye_check(QQ, g):
         np.testing.assert_allclose(bm, np.eye(bm.shape[0]), atol=1e-10)
 
 
+@pytest.mark.heavy
 def test_fusion_qr_lq_svd_null():
     T = FusionTensor.random(GC, (W1, W2, W1), (IN, OUT, OUT), seed=5)
     D = T.to_dense()

@@ -16,6 +16,7 @@ from hubbardtn_tpu.mps.imps import initialize_mps
 GOLDEN_OB = {0.0: -1.2696767, 1.0: -1.037173, 2.0: -0.84163698}
 
 
+@pytest.mark.slow
 def test_one_band_free_fermions():
     """Fixed-space VUMPS at small bond dimension reaches the golden value."""
     sim = OBSim(t=(1.0,), u=(0.0,), P=1, Q=1)
@@ -26,6 +27,7 @@ def test_one_band_free_fermions():
     assert abs(res.energy - (-4 / np.pi)) < 5e-3
 
 
+@pytest.mark.heavy
 def test_driver_composition_idmrg2_grassmann():
     """The composite driver follows the reference recipe (:1009-1027):
     IDMRG2 for unit cells > 1, then the VUMPS & GradientGrassmann polish.

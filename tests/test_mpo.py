@@ -45,6 +45,7 @@ def test_hubbard_nn_unit_cell_2():
     assert mpo.max_channels() == 6
 
 
+@pytest.mark.slow
 def test_long_range_hopping_wraps_unit_cell():
     site = canonical_site(1, 2)
     T = 2

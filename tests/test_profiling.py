@@ -23,6 +23,7 @@ def test_stage_timer_marks():
     assert t.ms() == {}
 
 
+@pytest.mark.slow
 def test_vumps_history_carries_stage_ms(tmp_path, monkeypatch):
     sim = OBSim(t=(1.0,), u=(2.0,), P=1, Q=1)
     H = hamiltonian(sim)

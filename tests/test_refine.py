@@ -31,6 +31,7 @@ def test_lieb_wu_anchors():
         assert abs(golden - exact) < 1e-2
 
 
+@pytest.mark.heavy
 def test_cast_round_trip_dtypes():
     from hubbardtn_tpu.models.hubbard import hamiltonian
     from hubbardtn_tpu.mps.imps import initialize_mps

@@ -68,6 +68,7 @@ def test_sharded_lanczos_restart_matches(problem):
     assert abs(overlap - 1.0) < 1e-9
 
 
+@pytest.mark.heavy
 def test_sharded_env_transfer_matches(problem):
     """Per-channel MPO environment transfer with sharded SymTensor blocks
     == unsharded (the environment-refresh path)."""
@@ -95,6 +96,7 @@ def test_sharded_env_transfer_matches(problem):
                                        np.asarray(blk), atol=1e-11)
 
 
+@pytest.mark.heavy
 def test_sharded_momentum_lanes_match():
     """The momentum-batched excitation H_eff with its lane axis sharded
     over the mesh == unsharded: scan lanes are independent, so the batch
@@ -128,6 +130,7 @@ def test_sharded_momentum_lanes_match():
     np.testing.assert_allclose(out, ref, atol=1e-10)
 
 
+@pytest.mark.heavy
 def test_sharded_su2_batched_matvec_matches():
     """The SU(2) bucketed fusion H_AC with sharded stacks == unsharded:
     the stack layout (class key -> (n, ...) array) is backend-agnostic, so

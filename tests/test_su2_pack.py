@@ -1,6 +1,7 @@
 """SU(2) channel stacking: packed matvec == per-transition dict path."""
 
 import numpy as np
+import pytest
 
 from hubbardtn_tpu.algorithms.vumps import apply_H_AC, apply_H_C
 from hubbardtn_tpu.models.hubbard import OBSim, hamiltonian
@@ -28,6 +29,7 @@ def _setup():
     return H, psi, GL, GR
 
 
+@pytest.mark.heavy
 def test_su2_packed_matvec_matches():
     H, psi, GL, GR = _setup()
     AC = full_blocks(psi.AC(0))
@@ -41,6 +43,7 @@ def test_su2_packed_matvec_matches():
                                np.asarray(pk.pack(ref)), atol=1e-12)
 
 
+@pytest.mark.heavy
 def test_su2_packed_hc_matches():
     H, psi, GL, GR = _setup()
     g = H.site.group

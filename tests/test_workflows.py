@@ -42,6 +42,7 @@ def test_produce_or_load_semantics(tmp_path):
     assert len(calls) == 3
 
 
+@pytest.mark.heavy
 def test_produce_groundstate_cache_roundtrip(tmp_path, monkeypatch):
     """Real solve once; the reload must hit the cache and carry live
     Hamiltonian + environments with the same energy."""
@@ -61,6 +62,7 @@ def test_produce_groundstate_cache_roundtrip(tmp_path, monkeypatch):
     assert abs(e_env - out1["energy"]) < 1e-8
 
 
+@pytest.mark.heavy
 def test_produce_excitations_exact_insulator(tmp_path):
     """produce_excitations through the cache on the exact band insulator:
     hole branch 2t cos k - u, imaginary parts 0 (reference :1226-1269)."""
@@ -84,6 +86,7 @@ def test_produce_excitations_exact_insulator(tmp_path):
                                    np.asarray(x0.blocks[k]), atol=0)
 
 
+@pytest.mark.heavy
 def test_produce_domainwalls_smoke(tmp_path):
     """Domain-wall variant runs end-to-end (shifted ket; reference
     :1301-1344).  T=1, so the shifted ground state equals the original and

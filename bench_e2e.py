@@ -135,7 +135,7 @@ def main():
     p.add_argument("--u", type=float, default=2.0)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--svalue", type=float, default=6.0)
-    p.add_argument("--bond-dim", type=int, default=96)
+    p.add_argument("--bond-dim", type=int, default=64)
     p.add_argument("--max-bond", type=int, default=2048)
     p.add_argument("--max-rounds", type=int, default=10)
     p.add_argument("--round-iters", type=int, default=30)

@@ -61,9 +61,17 @@ def test_mbc_excitations_real():
 
 
 @pytest.mark.slow
-def test_spin_golden_two_band():
+def test_spin_golden_two_band(monkeypatch):
     """Reference test/Spin.jl:49-54: 2-band spin model E ~ -0.63093
-    (two decoupled u=3 chains in the U(1)xU(1) basis, atol 1e-1)."""
+    (two decoupled u=3 chains in the U(1)xU(1) basis, atol 1e-1).
+
+    Staged driver only: the fused whole-iteration program on XLA CPU for
+    this T*B=4 spin model trips the image's documented glibc
+    heap-corruption bug (CLAUDE.md "Hard-won environment bug" — crash
+    site wanders between runs; reproduced unchanged at the round-3
+    commit).  The fused/staged equality itself is pinned elsewhere
+    (tests/test_fused_vumps.py); this golden's job is the energy."""
+    monkeypatch.setenv("HTN_NO_FUSED", "1")
     t = np.hstack([np.zeros((2, 2)), np.eye(2)])
     u = np.hstack([3.0 * np.eye(2), np.zeros((2, 2))])
     sim = MBSim(t=t, u=u, J=np.zeros((2, 2)), P=1, Q=1, bond_dim=4, spin=True)
@@ -74,9 +82,11 @@ def test_spin_golden_two_band():
 
 
 @pytest.mark.slow
-def test_spin_neutral_excitation_real_and_density_consistency():
+def test_spin_neutral_excitation_real_and_density_consistency(monkeypatch):
     """Reference test/Spin.jl:61-69 (neutral-sector excitation, Im ~ 0) and
-    :76-86 (sum n = sum n_up + n_dn)."""
+    :76-86 (sum n = sum n_up + n_dn).  Staged driver (see
+    test_spin_golden_two_band: XLA CPU heap bug on fused spin programs)."""
+    monkeypatch.setenv("HTN_NO_FUSED", "1")
     sim = OBSim(t=(1.0,), u=(8.0,), P=1, Q=1, bond_dim=6, spin=True)
     out = compute_groundstate(sim, tol=1e-6, max_rounds=1, round_iters=40,
                               final_iters=80, algorithm="vumps",

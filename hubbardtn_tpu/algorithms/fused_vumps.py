@@ -355,6 +355,13 @@ def vumps_fused_loop(psi, H, envs, tol: float, maxiter: int,
 
     if envs.ab_engine is None or envs.GL_stacks is None:
         return None
+    from ..utils.device import accel_device
+    if accel_device() is None and psi.T >= 4:
+        # image bug: XLA CPU segfaults compiling the 4-site (multi-band
+        # strip) fused step (heap corruption, crash site wanders; see
+        # CLAUDE.md).  The fused program exists for the tunneled chip;
+        # the staged loop serves CPU runs of these models.
+        return None
     chunk = max(1, int(os.environ.get("HTN_FUSED_CHUNK", "4")))
     plan = _plan_for(psi, H, envs.ab_engine, krylov_dim, chunk)
     if plan is None:

@@ -320,6 +320,18 @@ class PolarGaugePlan:
             m = self.meta[side]
             self.gsec[side] = {r: i for i, r in enumerate(
                 r_ for r_ in m.sectors if r_ not in m.fallback)}
+        # every AC bond sector must have a C-side partner: in the batched
+        # assembly a missing sector would gather the all-zero pad slot and
+        # silently produce zero AL/AR blocks with a masked-out gauge error
+        # (where the dict path would KeyError) — fail loudly at build
+        for ac_side, c_side in (("ac2", "cr"), ("ac1", "cl")):
+            missing = [r for r in self.meta[ac_side].sectors
+                       if r not in self.meta[c_side].sectors]
+            if missing:
+                raise ValueError(
+                    f"PolarGaugePlan: AC {ac_side} bond sectors {missing} "
+                    f"have no {c_side} C-matrix block (inconsistent AC/C "
+                    "structures)")
         self._sig = (tuple((s, self.meta[s]._sig()) for s in self.SIDES),
                      self.iters)
 

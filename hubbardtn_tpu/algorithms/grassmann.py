@@ -211,8 +211,11 @@ def grassmann_polish(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                 a_new = a * der0 / (der0 - der_a) if der_a > 0.0 else 0.3 * a
                 a = float(np.clip(a_new, 0.05 * a, 0.6 * a))
             else:
-                # Wolfe-1 region, still descending steeply: accept and
-                # probe one extension
+                # still descending steeply: this branch is only reached
+                # with der_a <= sigma*der0 < 0 (the weak Wolfe-1 bound on
+                # the derivative holds by the branch condition), so the
+                # step is accepted; probe one extension, which must ITSELF
+                # keep the Wolfe-1 derivative bound (not merely der_e < 0)
                 trial_state = (psi_t, envs_t, e_t, g_t, NLs_t)
                 accepted = True
                 a_ext = 2.0 * a
@@ -220,7 +223,7 @@ def grassmann_polish(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-8,
                                              env_tol)
                 g_e, NLs_e = _gradient(psi_e, H, envs_e)
                 der_e = -2.0 * _re_inner(g_e, _project(NLs_e, direction))
-                if der_e < 0.0 and e_e <= e_guard:
+                if der_e <= sigma * der0 and e_e <= e_guard:
                     trial_state = (psi_e, envs_e, e_e, g_e, NLs_e)
                     a = a_ext
                 break

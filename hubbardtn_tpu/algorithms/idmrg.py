@@ -151,7 +151,6 @@ def idmrg2(psi: UniformMPS, H: MPOHamiltonian, trscheme: tla.Truncation,
               and all(op.ndim == 4 for W in H.Ws for op in W.values())):
             from ..mpo.su2_pack import PackedMPOSU2
             pm = PackedMPOSU2(H)
-    cutoff = trscheme.cutoff or 0.0
     growing = bool(adapt_every)
     keep_before_expand = None
     for it in range(maxiter):

@@ -44,11 +44,16 @@ def lieb_wu_energy(u: float) -> float:
     # oscillations, stopping when panels stop contributing.
     total = 0.0
     a = 0.0
+    negligible = 0
     for k in range(1, 400):
         b = 4.0 * k
         val, _err = quad(integrand, a, b, limit=200)
         total += val
         a = b
-        if abs(val) < 1e-16 and k > 4:
+        # an oscillatory panel can cancel to ~0 while later panels still
+        # contribute (slow Fermi tail at small u): stop only after TWO
+        # consecutive negligible panels
+        negligible = negligible + 1 if abs(val) < 1e-16 else 0
+        if negligible >= 2 and k > 4:
             break
     return -4.0 * total

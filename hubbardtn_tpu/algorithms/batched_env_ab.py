@@ -36,6 +36,7 @@ HTN_NO_ENV_PACK=1.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Tuple
 
 import jax
@@ -108,7 +109,8 @@ class AbEnvEngine:
         key = (id(H),
                tuple(a.structure() for a in psi.ALs),
                tuple(a.structure() for a in psi.ARs),
-               str(psi.ALs[0].dtype))
+               str(psi.ALs[0].dtype),
+               os.environ.get("HTN_ENV_TRANSFER", "batched"))
         hit = cls._cache.get(key)
         if hit is not None and hit[0] is H:
             return hit[1]
@@ -171,7 +173,121 @@ class AbEnvEngine:
                                            pm.maps[(x + 1) % T])
                            for x in range(T)]
 
+        # class-batched one-site MPO transfers for the presweeps/fills
+        # (measured per-sector data-movement-bound on the dict path;
+        # HTN_ENV_TRANSFER=dict restores the inline dict transfers)
+        self.transfer_mode = os.environ.get("HTN_ENV_TRANSFER", "batched")
+        if self.transfer_mode != "dict":
+            from .batched_transfer import (PaddedTransferLeft,
+                                           PaddedTransferRight)
+            self.tplanL = [PaddedTransferLeft(
+                self.lay_gl[x], pm.Ws[x], self.regL.als[x],
+                self.lay_gl[(x + 1) % T]) for x in range(T)]
+            self.tplanR = [PaddedTransferRight(
+                self.lay_gr[x], pm.Ws[x], self.regR.ars[x],
+                self.lay_gr[(x - 1) % T]) for x in range(T)]
+            m0 = pm.maps[0]
+            # left: channel 0 pinned to I0, FINAL channel zeroed/solved;
+            # right: final channel pinned to I0, channel 0 zeroed/solved
+            self._maskL, self._eyesL = self._pin_consts(
+                self.lay_gl[0], m0, i0_channel=0,
+                zero_channels=(0, self.fin))
+            self._maskR, self._eyesR = self._pin_consts(
+                self.lay_gr[T - 1], m0, i0_channel=self.finR,
+                zero_channels=(0, self.finR))
+            self._cfL = self._xl_plan(self.lay_gl[0], self.regL.layout,
+                                      m0, self.fin)
+            self._cfR = self._xl_plan(self.lay_gr[T - 1], self.regR.layout,
+                                      m0, 0)
+
         self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _pin_consts(self, lay: EnvLayoutAb, cmap, i0_channel: int,
+                    zero_channels):
+        """(mask consts, eye plan): ``pin(stk) = stk * mask``, then the
+        eye plan writes the bond identity into the pinned channel — the
+        stack-land form of the dict presweep's ``cur[0] = I0;
+        cur[fin] = 0`` channel pinning.  Masks are tiny numpy constants;
+        the identities are written in-trace (a full-size identity stack
+        would embed an env-sized constant into every program)."""
+        npdt = jnp.dtype(self.dtype).name
+        qz = [cmap.slot[c] for c in zero_channels]
+        qi, oi = cmap.slot[i0_channel]
+        mask = {}
+        eyes = []
+        for ck in lay.stacks.class_keys:
+            keys = lay.stacks.classes[ck]
+            m = np.ones((len(keys), 1, 1, ck[2]), dtype=npdt)
+            for i, key in enumerate(keys):
+                for qc, oc in qz:
+                    if key[2] == qc:
+                        m[i, 0, 0, oc] = 0
+                if key[2] == qi and key[0] == key[1]:
+                    d0, d1, _ = lay.stacks.dims[key]
+                    eyes.append((ck, i, d0, d1, oi))
+            mask[ck] = m
+        return mask, eyes
+
+    def _pin(self, stk, mask, eyes):
+        out = {ck: stk[ck] * jnp.asarray(mask[ck]) for ck in stk}
+        for ck, i, d0, d1, oi in eyes:
+            out[ck] = out[ck].at[i, :d0, :d1, oi].set(
+                jnp.eye(d0, d1, dtype=self.dtype))
+        return out
+
+    def _pin_zeros(self, lay, mask, eyes):
+        out = lay.zeros()
+        for ck, i, d0, d1, oi in eyes:
+            out[ck] = out[ck].at[i, :d0, :d1, oi].set(
+                jnp.eye(d0, d1, dtype=self.dtype))
+        return out
+
+    @staticmethod
+    def _xl_plan(lay: EnvLayoutAb, xl, cmap, channel: int):
+        """Static gather/scatter plan between one boundary channel's
+        diagonal blocks in the env stacks and the GMRES XLayout vector."""
+        qc, oc = cmap.slot[channel]
+        plan = []
+        for ck in xl.class_keys:
+            ents = []
+            for i, q in enumerate(xl.classes[ck]):
+                key = (q, q, qc)
+                if key in lay.stacks.pos:
+                    eck, j = lay.stacks.pos[key]
+                    ents.append((i, xl.dims[q], eck, j, oc))
+            plan.append((ck, len(xl.classes[ck]), ents))
+        return plan
+
+    def _gather_xl(self, plan, stk):
+        parts = []
+        for ck, n, ents in plan:
+            buf = jnp.zeros((n, ck, ck), dtype=self.dtype)
+            for i, d, eck, j, oc in ents:
+                buf = buf.at[i, :d, :d].set(stk[eck][j, :d, :d, oc])
+            parts.append(buf.reshape(-1))
+        return jnp.concatenate(parts)
+
+    def _scatter_xl(self, plan, stk, yvec, xl):
+        Y = xl.unflatten(yvec)
+        out = dict(stk)
+        for ck, _n, ents in plan:
+            for i, d, eck, j, oc in ents:
+                out[eck] = out[eck].at[j, :d, :d, oc].set(Y[ck][i, :d, :d])
+        return out
+
+    def _unstack_env(self, pkplan, stk, V, charges, dual: bool = False):
+        """Stacked per-bond env -> the per-channel 2-leg dicts the rest of
+        the stack consumes (pure slicing; DCE'd when the dicts are dead)."""
+        per_a: Dict[int, Dict] = {}
+        for a, bk, ck, i, (d0, d1), oa in pkplan:
+            per_a.setdefault(a, {})[bk] = stk[ck][i, :d0, :d1, oa]
+        out = {}
+        for a, qa in enumerate(charges):
+            ch = self.group.dual(qa) if dual else qa
+            out[a] = SymTensor(self.group, (V, V), (IN, OUT),
+                               per_a.get(a, {}), ch, self.dtype)
+        return out
 
     # ------------------------------------------------------------------
     def _A_from_stacks(self, meta, alay, astacks_x) -> SymTensor:
@@ -303,6 +419,77 @@ class AbEnvEngine:
                 30, atol=tol_s * jnp.linalg.norm(rhs))
             GRs, stacks = finalize_right(cur, y, astacks)
             return GRs, stacks, e, y, resid, rhs, cur, tr
+
+        if self.transfer_mode != "dict":
+            # class-batched presweeps/fills (batched_transfer.py): the
+            # refresh_* closures above pick these up by late binding.
+            # Same semantics as the dict versions: pinned-boundary cell
+            # sweeps, boundary-channel inflow extraction, interior fills
+            # — but every one-site transfer is a handful of large batched
+            # einsums on the engine's stacked layout instead of the
+            # per-(channel, block) op soup, and the per-channel dicts are
+            # cheap SLICES of the stacks (DCE'd when dead).
+            def sweep_left(astacks, rhoT_vec):
+                stk = self._pin_zeros(self.lay_gl[0], self._maskL,
+                                      self._eyesL)
+                for _ in range(self.n_sweeps):
+                    for x in range(T):
+                        stk = self.tplanL[x].apply(stk, astacks[x])
+                    stk = self._pin(stk, self._maskL, self._eyesL)
+                fill = stk
+                for x in range(T):
+                    fill = self.tplanL[x].apply(fill, astacks[x])
+                cf = self._gather_xl(self._cfL, fill)
+                I0 = bond_identity(g, self.VL[0], dtype=dtype)
+                i0x = self.regL.layout.pack(I0)
+                tr = jnp.sum(i0x * rhoT_vec)
+                e = jnp.sum(cf * rhoT_vec) / tr
+                rhs = cf - e * i0x
+                return stk, rhs, e, tr, i0x
+
+            def finalize_left(cur, y, astacks):
+                stk0 = self._scatter_xl(self._cfL, cur, y,
+                                        self.regL.layout)
+                stacks = [stk0]
+                for x in range(T - 1):
+                    stacks.append(self.tplanL[x].apply(stacks[x],
+                                                       astacks[x]))
+                GLs = [self._unstack_env(self._pkplan_gl[x], stacks[x],
+                                         self.VL[x], self.charges[x])
+                       for x in range(T)]
+                return GLs, stacks
+
+            def sweep_right(astacks, sigT_vec):
+                stk = self._pin_zeros(self.lay_gr[T - 1], self._maskR,
+                                      self._eyesR)
+                for _ in range(self.n_sweeps):
+                    for x in reversed(range(T)):
+                        stk = self.tplanR[x].apply(stk, astacks[x])
+                    stk = self._pin(stk, self._maskR, self._eyesR)
+                fill = stk
+                for x in reversed(range(T)):
+                    fill = self.tplanR[x].apply(fill, astacks[x])
+                ci = self._gather_xl(self._cfR, fill)
+                I0 = bond_identity(g, self.VR[T - 1], dtype=dtype)
+                i0x = self.regR.layout.pack(I0)
+                tr = jnp.sum(sigT_vec * i0x)
+                e = jnp.sum(sigT_vec * ci) / tr
+                rhs = ci - e * i0x
+                return stk, rhs, e, tr, i0x
+
+            def finalize_right(cur, y, astacks):
+                stk_last = self._scatter_xl(self._cfR, cur, y,
+                                            self.regR.layout)
+                stacks = [None] * T
+                stacks[T - 1] = stk_last
+                for x in reversed(range(1, T)):
+                    stacks[x - 1] = self.tplanR[x].apply(stacks[x],
+                                                         astacks[x])
+                GRs = [self._unstack_env(self._pkplan_gr[x], stacks[x],
+                                         self.VR[x],
+                                         self.charges[(x + 1) % T],
+                                         dual=True) for x in range(T)]
+                return GRs, stacks
 
         self._gmresL = jax.jit(gmresL)
         self._finalize_left = jax.jit(finalize_left)

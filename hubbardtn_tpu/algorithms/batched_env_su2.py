@@ -166,6 +166,20 @@ class PairPlanSU2:
         return acc
 
 
+class EnvLayoutSU2:
+    """Bucketed stack layout of one bond's channel-packed 3-leg env
+    (fusion-tree block tables; channel axis fixed to the global pad)."""
+
+    def __init__(self, tmpl3: FusionTensor, Cch: int, dtype):
+        self.struct = OperandStruct.of(tmpl3, use_allowed=True)
+        self.stacks = build_stacks(self.struct, dtype, fixed_axes={2: Cch})
+        self.Cch = Cch
+        self.dtype = dtype
+
+    def zeros(self):
+        return self.stacks.zeros()
+
+
 class SU2EnvEngine:
     """Per-structure SU(2) environment refresh: presweeps, geometric-sum
     GMRES, and interior fills on bucketed channel-stacked arrays.
@@ -180,10 +194,12 @@ class SU2EnvEngine:
     def get(cls, psi, H) -> "SU2EnvEngine":
         # the cache entry keeps a strong reference to H, so id(H) cannot be
         # recycled by a different Hamiltonian while the entry lives
+        import os
         key = (id(H),
                tuple(a.structure() for a in psi.ALs),
                tuple(a.structure() for a in psi.ARs),
-               str(psi.ALs[0].dtype))
+               str(psi.ALs[0].dtype),
+               os.environ.get("HTN_ENV_TRANSFER", "batched"))
         hit = cls._cache.get(key)
         if hit is not None and hit[0] is H:
             return hit[1]
@@ -253,7 +269,159 @@ class SU2EnvEngine:
         self.pairR = PairPlanSU2(self.xlayR[T - 1], sig3_tmpl, x_first=False)
 
         self.VL, self.VR = VL, VR
+
+        # class-batched one-site MPO transfers for the presweeps/fills
+        # (HTN_ENV_TRANSFER=dict restores the inline dict transfers)
+        import os
+        self.transfer_mode = os.environ.get("HTN_ENV_TRANSFER", "batched")
+        if self.transfer_mode != "dict":
+            from ..mpo.su2_pack import PackedMPOSU2
+            from .batched_transfer import SU2TransferLeft, SU2TransferRight
+            pm = PackedMPOSU2(H)
+            self.pm = pm
+            Cch = max(max(d for _, d in m.space) for m in pm.maps)
+            self.Cch = Cch
+            self.layS_gl = [EnvLayoutSU2(
+                zeros(g, (VL[x], VL[x], pm.maps[x].space), (IN, OUT, IN),
+                      dtype=dtype, fill=False), Cch, dtype)
+                for x in range(T)]
+            self.layS_gr = [EnvLayoutSU2(
+                zeros(g, (VR[x], VR[x], pm.maps[(x + 1) % T].space),
+                      (IN, OUT, OUT), dtype=dtype, fill=False), Cch, dtype)
+                for x in range(T)]
+            self.tplanL = [SU2TransferLeft(
+                self.layS_gl[x], pm.Ws[x], psi.ALs[x],
+                self.layS_gl[(x + 1) % T], *self._astL[x])
+                for x in range(T)]
+            self.tplanR = [SU2TransferRight(
+                self.layS_gr[x], pm.Ws[x], psi.ARs[x],
+                self.layS_gr[(x - 1) % T], *self._astR[x])
+                for x in range(T)]
+            from ..mps.imps import bond_identity
+            m0 = pm.maps[0]
+            self.finR = len(m0.charges) - 1
+            I0L = append_trivial_leg(bond_identity(g, VL[0], dtype=dtype),
+                                     IN)
+            I0R = append_trivial_leg(bond_identity(g, VR[T - 1],
+                                                   dtype=dtype), OUT)
+            self._maskL, self._eyesL = self._pin_consts(
+                self.layS_gl[0], m0, i0_channel=0,
+                zero_channels=(0, self.fin), i0_tensor=I0L)
+            self._maskR, self._eyesR = self._pin_consts(
+                self.layS_gr[T - 1], m0, i0_channel=self.finR,
+                zero_channels=(0, self.finR), i0_tensor=I0R)
+            self._cfL = self._xl_plan(self.layS_gl[0], self.xlayL[0],
+                                      m0, self.fin)
+            self._cfR = self._xl_plan(self.layS_gr[T - 1],
+                                      self.xlayR[T - 1], m0, 0)
+            self._unplan_gl = [self._unstack_plan(
+                self.layS_gl[x], pm.maps[x]) for x in range(T)]
+            self._unplan_gr = [self._unstack_plan(
+                self.layS_gr[x], pm.maps[(x + 1) % T]) for x in range(T)]
+
         self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _pin_consts(self, lay: EnvLayoutSU2, cmap, i0_channel: int,
+                    zero_channels, i0_tensor: FusionTensor):
+        """(mask consts, identity-write plan): ``pin(stk) = stk * mask``
+        followed by writing the bond identity's blocks into the pinned
+        channel's slot — stack-land form of the dict presweep's
+        ``cur[0] = I0; cur[fin] = 0`` channel pinning."""
+        npdt = jnp.dtype(self.dtype).name
+        qz = [cmap.slot[c] for c in zero_channels]
+        qi, oi = cmap.slot[i0_channel]
+        mask = {}
+        for ck in lay.stacks.class_keys:
+            keys = lay.stacks.classes[ck]
+            m = np.ones((len(keys), 1, 1, ck[2]), dtype=npdt)
+            for i, key in enumerate(keys):
+                for qc, oc in qz:
+                    if key[0][2] == qc:
+                        m[i, 0, 0, oc] = 0
+            mask[ck] = m
+        eyes = []
+        for (legs, c, t), blk in i0_tensor.blocks.items():
+            key = ((legs[0], legs[1], qi), c, t)
+            if key not in lay.stacks.pos:
+                continue
+            eck, j = lay.stacks.pos[key]
+            v = np.asarray(blk)[:, :, 0].astype(npdt)
+            eyes.append((eck, j, v, oi))
+        return mask, eyes
+
+    def _pin(self, stk, mask, eyes):
+        out = {ck: stk[ck] * jnp.asarray(mask[ck]) for ck in stk}
+        for eck, j, v, oi in eyes:
+            out[eck] = out[eck].at[j, :v.shape[0], :v.shape[1], oi].set(
+                jnp.asarray(v))
+        return out
+
+    def _pin_zeros(self, lay, eyes):
+        out = lay.zeros()
+        for eck, j, v, oi in eyes:
+            out[eck] = out[eck].at[j, :v.shape[0], :v.shape[1], oi].set(
+                jnp.asarray(v))
+        return out
+
+    def _xl_plan(self, lay: EnvLayoutSU2, xlay: XLayoutSU2, cmap,
+                 channel: int):
+        """Static gather/scatter plan between one boundary channel's env
+        blocks and the GMRES XLayoutSU2 stacks (trees depend only on leg
+        sector charges, so keys align one-for-one when the boundary
+        channel carries the trivial charge)."""
+        qc, oc = cmap.slot[channel]
+        assert qc == self.group.trivial, (
+            "boundary FSM channel must carry the trivial charge")
+        plan = []
+        for xkey, (xck, xi) in sorted(xlay.stacks.pos.items()):
+            legs, c, t = xkey
+            ekey = ((legs[0], legs[1], qc), c, t)
+            if ekey not in lay.stacks.pos:
+                continue
+            eck, j = lay.stacks.pos[ekey]
+            d0, d1, _ = xlay.stacks.dims[xkey]
+            plan.append((xck, xi, d0, d1, eck, j, oc))
+        return plan
+
+    def _gather_xl(self, plan, xlay, stk):
+        bufs = xlay.stacks.zeros()
+        for xck, xi, d0, d1, eck, j, oc in plan:
+            bufs[xck] = bufs[xck].at[xi, :d0, :d1, 0].set(
+                stk[eck][j, :d0, :d1, oc])
+        return xlay.flatten(bufs)
+
+    def _scatter_xl(self, plan, xlay, stk, yvec):
+        Y = xlay.unflatten(yvec)
+        out = dict(stk)
+        for xck, xi, d0, d1, eck, j, oc in plan:
+            out[eck] = out[eck].at[j, :d0, :d1, oc].set(
+                Y[xck][xi, :d0, :d1, 0])
+        return out
+
+    def _unstack_plan(self, lay: EnvLayoutSU2, cmap):
+        plan = []
+        for a, (qa, oa) in enumerate(cmap.slot):
+            for key, (eck, j) in sorted(lay.stacks.pos.items()):
+                if key[0][2] != qa:
+                    continue
+                d0, d1, _ = lay.stacks.dims[key]
+                plan.append((a, key, eck, j, d0, d1, oa))
+        return plan
+
+    def _unstack_env(self, plan, stk, V, charges, left: bool):
+        """Stacked per-bond env -> per-channel 3-leg dicts (slices)."""
+        from ..ops.sites_su2 import channel_space
+        per_a: Dict[int, Dict] = {}
+        for a, key, eck, j, d0, d1, oa in plan:
+            per_a.setdefault(a, {})[key] = stk[eck][j, :d0, :d1, oa:oa + 1]
+        out = {}
+        for a, qa in enumerate(charges):
+            out[a] = FusionTensor(
+                self.group, (V, V, channel_space(self.group, qa)),
+                (IN, OUT, IN if left else OUT), per_a.get(a, {}), None,
+                self.dtype)
+        return out
 
     # ------------------------------------------------------------------
     def _build_jits(self):
@@ -387,6 +555,82 @@ class SU2EnvEngine:
                 30, atol=tol_s * jnp.linalg.norm(rhs))
             GRs = finalize_right(cur, y, ARs)
             return GRs, e, y, resid, rhs, cur, tr
+
+        if self.transfer_mode != "dict":
+            # class-batched presweeps/fills (batched_transfer.py): the
+            # refresh_* closures above pick these up by late binding.
+            # Same semantics as the dict versions (pinned-boundary cell
+            # sweeps, boundary-channel inflow, interior fills), but every
+            # one-site transfer is three chained FusionDotPlans on the
+            # stacked env layout; per-channel dicts are SLICES of the
+            # stacks (DCE'd when dead).  The A packs are the same
+            # pack_ab the GMRES uses — XLA CSE dedups them in-program.
+            def sweep_left(ALs, rho_arrays):
+                a_ab = [pack_ab(self._astL[x], ALs[x]) for x in range(T)]
+                stk = self._pin_zeros(self.layS_gl[0], self._eyesL)
+                for _ in range(self.n_sweeps):
+                    for x in range(T):
+                        stk = self.tplanL[x].apply(stk, *a_ab[x])
+                    stk = self._pin(stk, self._maskL, self._eyesL)
+                fill = stk
+                for x in range(T):
+                    fill = self.tplanL[x].apply(fill, *a_ab[x])
+                cf = self._gather_xl(self._cfL, self.xlayL[0], fill)
+                I0 = append_trivial_leg(
+                    bond_identity(g, self.VL[0], dtype=dtype), IN)
+                i0x = self.xlayL[0].pack_vec(I0)
+                tr = self.pairL.value(self.xlayL[0].unflatten(i0x),
+                                      rho_arrays)
+                e = self.pairL.value(self.xlayL[0].unflatten(cf),
+                                     rho_arrays) / tr
+                rhs = cf - e * i0x
+                return stk, rhs, e, tr, i0x
+
+            def finalize_left(cur, y, ALs):
+                a_ab = [pack_ab(self._astL[x], ALs[x]) for x in range(T)]
+                stk0 = self._scatter_xl(self._cfL, self.xlayL[0], cur, y)
+                stacks = [stk0]
+                for x in range(T - 1):
+                    stacks.append(self.tplanL[x].apply(stacks[x],
+                                                       *a_ab[x]))
+                return [self._unstack_env(self._unplan_gl[x], stacks[x],
+                                          self.VL[x], self.charges[x],
+                                          left=True) for x in range(T)]
+
+            def sweep_right(ARs, sig_arrays):
+                a_ab = [pack_ab(self._astR[x], ARs[x]) for x in range(T)]
+                stk = self._pin_zeros(self.layS_gr[T - 1], self._eyesR)
+                for _ in range(self.n_sweeps):
+                    for x in reversed(range(T)):
+                        stk = self.tplanR[x].apply(stk, *a_ab[x])
+                    stk = self._pin(stk, self._maskR, self._eyesR)
+                fill = stk
+                for x in reversed(range(T)):
+                    fill = self.tplanR[x].apply(fill, *a_ab[x])
+                ci = self._gather_xl(self._cfR, self.xlayR[T - 1], fill)
+                I0 = append_trivial_leg(
+                    bond_identity(g, self.VR[T - 1], dtype=dtype), OUT)
+                i0x = self.xlayR[T - 1].pack_vec(I0)
+                tr = self.pairR.value(self.xlayR[T - 1].unflatten(i0x),
+                                      sig_arrays)
+                e = self.pairR.value(self.xlayR[T - 1].unflatten(ci),
+                                     sig_arrays) / tr
+                rhs = ci - e * i0x
+                return stk, rhs, e, tr, i0x
+
+            def finalize_right(cur, y, ARs):
+                a_ab = [pack_ab(self._astR[x], ARs[x]) for x in range(T)]
+                stk_last = self._scatter_xl(self._cfR, self.xlayR[T - 1],
+                                            cur, y)
+                stacks = [None] * T
+                stacks[T - 1] = stk_last
+                for x in reversed(range(1, T)):
+                    stacks[x - 1] = self.tplanR[x].apply(stacks[x],
+                                                         *a_ab[x])
+                return [self._unstack_env(self._unplan_gr[x], stacks[x],
+                                          self.VR[x],
+                                          self.charges[(x + 1) % T],
+                                          left=False) for x in range(T)]
 
         self._sweep_left = jax.jit(sweep_left)
         self._gmresL = jax.jit(gmresL)

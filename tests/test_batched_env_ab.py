@@ -106,3 +106,30 @@ def test_ab_packed_env_warm_start():
     envs2 = Environments(psi, H, tol=1e-12, prev=envs)
     assert abs(complex(envs.energy_per_site)
                - complex(envs2.energy_per_site)) < 1e-10
+
+
+@pytest.mark.slow
+def test_batched_transfer_matches_dict_transfers(monkeypatch):
+    """HTN_ENV_TRANSFER knob: the class-batched presweep/fill transfers
+    (algorithms/batched_transfer.py) reproduce the inline dict transfers
+    block-for-block, dicts AND passthrough stacks."""
+    H, psi = _compare(OBSim(t=(1.0,), u=(2.0,), P=1, Q=1))
+    monkeypatch.setenv("HTN_ENV_TRANSFER", "dict")
+    e_d = Environments(psi, H, tol=1e-12)
+    monkeypatch.setenv("HTN_ENV_TRANSFER", "batched")
+    e_b = Environments(psi, H, tol=1e-12)
+    assert e_d.ab_engine.transfer_mode == "dict"
+    assert e_b.ab_engine.transfer_mode == "batched"
+    assert abs(complex(e_d.energy_per_site)
+               - complex(e_b.energy_per_site)) < 1e-10
+    _assert_env_dicts_match(e_d.GLs, e_b.GLs)
+    _assert_env_dicts_match(e_d.GRs, e_b.GRs)
+    for x in range(psi.T):
+        for ck in e_b.GL_stacks[x]:
+            np.testing.assert_allclose(np.asarray(e_d.GL_stacks[x][ck]),
+                                       np.asarray(e_b.GL_stacks[x][ck]),
+                                       atol=1e-9)
+        for ck in e_b.GR_stacks[x]:
+            np.testing.assert_allclose(np.asarray(e_d.GR_stacks[x][ck]),
+                                       np.asarray(e_b.GR_stacks[x][ck]),
+                                       atol=1e-9)

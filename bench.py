@@ -197,8 +197,20 @@ class SweepBench:
         psi = UniformMPS(self.ALs, self.ARs, self.Cs)
         self.fused_plan = FusedIterPlan(psi, self.H, self.eng,
                                         krylov_dim=16, max_restarts=1)
+        # the PRODUCTION dispatch: HTN_FUSED_CHUNK (default 4) iterations
+        # scanned per program call.  The scan carry stays in-program, so
+        # the per-call cost of marshalling hundreds of per-block buffers
+        # through the tunneled runtime (~6 ms/dispatch at chi 2752 --
+        # measured to dwarf the iteration's actual compute) is amortized
+        # chunk-fold; the per-iteration number is the honest production
+        # metric.
+        self.fused_plan4 = FusedIterPlan(psi, self.H, self.eng,
+                                         krylov_dim=16, max_restarts=1,
+                                         chunk=4)
         self.fused_ACs = [full_blocks(psi.AC(x)) for x in range(T)]
         self.fused_Cs = [full_blocks(self.Cs[x]) for x in range(T)]
+        self.fused_ALs = [full_blocks(self.ALs[x]) for x in range(T)]
+        self.fused_ARs = [full_blocks(self.ARs[x]) for x in range(T)]
 
     # -- environment refresh as one jitted program ------------------------
     def _build_env_refresh(self):
@@ -241,10 +253,12 @@ class SweepBench:
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
          self._refresh_args, self.ACs, self.ALs, self.ARs, self.Cs,
          self.GLd, self.GRd, self.fused_ACs, self.fused_Cs,
+         self.fused_ALs, self.fused_ARs,
          self._x0L, self._x0R) = jax.device_put(
             (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
              self._refresh_args, self.ACs, self.ALs, self.ARs, self.Cs,
              self.GLd, self.GRd, self.fused_ACs, self.fused_Cs,
+             self.fused_ALs, self.fused_ARs,
              self._x0L, self._x0R), dev)
 
     # -- stages -----------------------------------------------------------
@@ -326,6 +340,23 @@ class SweepBench:
             return _flops_of(plan._step.lower(*args))
 
         return run, flops
+
+    def stage_fused4(self):
+        """The production chunk-4 scan: 4 complete iterations per
+        dispatch (see fused_plan4); err_prev=1e9 keeps every slot live
+        (no converged passthrough), so ms/4 is a full iteration."""
+        plan = self.fused_plan4
+        _, stL, _, stR, _ = self._refresh(*self._refresh_args)
+        jax.block_until_ready(stR)
+        rdt = jnp.real(jnp.zeros((), self.dtype)).dtype
+        args = (self.fused_ACs, self.fused_Cs, self.fused_ALs,
+                self.fused_ARs, stL, stR, self._x0L, self._x0R,
+                jnp.asarray(1e9, rdt), jnp.asarray(0, rdt))
+
+        def run():
+            return plan._multi(*args)
+
+        return run
 
 
 
@@ -431,8 +462,13 @@ class SU2Bench:
         envs_like = types.SimpleNamespace(GLs=self.GLd, GRs=self.GRd)
         self.fused_plan = FusedIterPlanSU2(psi, H, self.eng, envs_like,
                                            krylov_dim=16, max_restarts=1)
+        self.fused_plan4 = FusedIterPlanSU2(psi, H, self.eng, envs_like,
+                                            krylov_dim=16, max_restarts=1,
+                                            chunk=4)
         self.fused_ACs = [full_blocks(psi.AC(x)) for x in range(T)]
         self.fused_Cs = [full_blocks(self.Cs[x]) for x in range(T)]
+        self.fused_ALs = [full_blocks(self.ALs[x]) for x in range(T)]
+        self.fused_ARs = [full_blocks(self.ARs[x]) for x in range(T)]
         # the fused carry holds the plans' packed env stacks (built here on
         # the CPU phase, shipped once in to_device)
         self.fused_EL, self.fused_ER = self.fused_plan._pack_all(
@@ -442,11 +478,13 @@ class SU2Bench:
         (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
          self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
          self.sig_arrays, self.GLd, self.GRd, self.fused_ACs,
-         self.fused_Cs, self.fused_EL, self.fused_ER) = jax.device_put(
+         self.fused_Cs, self.fused_ALs, self.fused_ARs,
+         self.fused_EL, self.fused_ER) = jax.device_put(
             (self.vac, self.vc, self.GLp, self.GRp, self.GL1p, self.GR1p,
              self.ACs, self.Cs, self.ALs, self.ARs, self.rho_arrays,
              self.sig_arrays, self.GLd, self.GRd, self.fused_ACs,
-             self.fused_Cs, self.fused_EL, self.fused_ER), dev)
+             self.fused_Cs, self.fused_ALs, self.fused_ARs,
+             self.fused_EL, self.fused_ER), dev)
 
     def stage_fused(self):
         plan = self.fused_plan
@@ -459,6 +497,22 @@ class SU2Bench:
 
         def run():
             return plan._step(*args)
+
+        return run
+
+    def stage_fused4(self):
+        """Production chunk-4 scan (see SweepBench.stage_fused4)."""
+        plan = self.fused_plan4
+        rdt = jnp.real(jnp.zeros((), self.dtype)).dtype
+        yL = jnp.zeros((self.eng.xlayL[0].total,), dtype=self.dtype)
+        yR = jnp.zeros((self.eng.xlayR[self.T - 1].total,),
+                       dtype=self.dtype)
+        args = (self.fused_ACs, self.fused_Cs, self.fused_ALs,
+                self.fused_ARs, self.fused_EL, self.fused_ER, yL, yR,
+                jnp.asarray(1e9, rdt), jnp.asarray(0, rdt))
+
+        def run():
+            return plan._multi(*args)
 
         return run
 
@@ -528,20 +582,25 @@ class SU2Bench:
                   "su2_gauge": self.stage_gauge(),
                   "su2_envs": self.stage_envs(),
                   "su2_fused": self.stage_fused(),
+                  "su2_fused4": self.stage_fused4(),
                   "su2_mv_x20": mv_run}
         times = _time_stages_multipass(stages, passes=3)
         times = {k.replace("su2_", "", 1): v for k, v in times.items()}
         mv_ms = times.pop("mv_x20") / reps
         fused_ms = times.pop("fused")
+        fused4_ms = times.pop("fused4") / 4
         breakdown = {}
         total = 0.0
         for name, ms in times.items():
             breakdown[name] = round(ms, 2)
             total += ms
         breakdown["fused"] = round(fused_ms, 2)
+        breakdown["fused4"] = round(fused4_ms * 4, 2)
         return {
             "su2_chi_dense": self.chi_dense,
-            "su2_iteration_ms": round(min(total, fused_ms), 2),
+            "su2_iteration_ms": round(min(total, fused_ms, fused4_ms), 2),
+            "su2_fused_step_ms": round(fused_ms, 2),
+            "su2_fused_chunk4_per_iter_ms": round(fused4_ms, 2),
             "su2_staged_sum_ms": round(total, 2),
             "su2_breakdown_ms": breakdown,
             "su2_h_ac_matvec_ms": round(mv_ms, 3),
@@ -820,8 +879,10 @@ def _e2e_bench(record, emit):
             ev, _ = run("energy", ["--state", state_path], host_env,
                         timeout=max(_left() - 20, 90))
             push(e2e_energy_f64_eval=ev["e_f64_eval"],
+                 e2e_energy_f64_eval_gauged=ev["e_f64_eval_gauged"],
                  e2e_exact=ev["exact"],
                  e2e_rel_err_vs_exact=ev["rel_err_vs_exact"],
+                 e2e_rel_err_vs_exact_raw=ev["rel_err_vs_exact_raw"],
                  e2e_f64_eval_wall_s=ev["wall_s"])
         except Exception as e:
             print(f"# e2e f64 energy eval failed: {e}", file=sys.stderr)
@@ -845,13 +906,30 @@ def _e2e_bench(record, emit):
                 # chip re-solve at the refinable cap (cache-warm, fast)
                 timed_solve(cap, "_refine_src", _left())
             os.replace(state_path, refine_state)
-            rv, _ = run("refine", ["--state", refine_state], host_env,
+            # tol 1e-9: the default 1e-6 stops while the energy estimate
+            # still carries its O(gauge err) bias (measured: 6 iters
+            # landed 3.6e-6 ABOVE the plain f64 eval); the offline
+            # artifact holds the full-depth run, this in-window rung is
+            # iteration-bounded to fit the remaining budget
+            iters = max(10, min(80, int((_left() - 120) / 170)))
+            rv, _ = run("refine", ["--state", refine_state,
+                                   "--tol", "1e-9",
+                                   "--final-iters", str(iters)], host_env,
                         timeout=max(_left() - 20, 300))
             push(e2e_energy_f64_refined=rv["e_f64_refined"],
                  e2e_refined_grad_err=rv["grad_err"],
                  e2e_refined_rel_err_vs_exact=rv["rel_err_vs_exact"],
                  e2e_refine_wall_s=rv["wall_s"],
                  e2e_refine_iters=rv["refine_iters"])
+            if "e2e_energy_f64_eval_gauged" in out:
+                # the mixed-precision north star: the chip-f32 state's
+                # exact-regauged f64 energy vs the all-f64 optimum at the
+                # SAME structure (quadratic-in-state-error chain); the
+                # residual gap to the EXACT Lieb-Wu answer is the bond
+                # truncation floor, reported separately above
+                push(e2e_mixed_precision_gap=abs(
+                    out["e2e_energy_f64_eval_gauged"]
+                    - rv["e_f64_refined"]) / abs(rv["e_f64_refined"]))
         except Exception as e:
             print(f"# e2e refine rung failed: {e}", file=sys.stderr)
             push(e2e_refine_skipped=str(e)[-160:])
@@ -1009,7 +1087,8 @@ def _run_live():
                 stages = {"eigs": bench.stage_eigs(),
                           "gauge": bench.stage_gauge(),
                           "envs": bench.stage_envs(),
-                          "fused": bench.stage_fused()}
+                          "fused": bench.stage_fused(),
+                          "fused4": (bench.stage_fused4(), lambda: 0.0)}
             # first pass compiles each stage (slow); two more passes of
             # pure timing recover the unloaded number on a shared chip
             stage_ms = {}
@@ -1019,7 +1098,7 @@ def _run_live():
                 print(f"# {name}: {stage_ms[name]:.1f} ms "
                       f"(incl. compile {time.perf_counter()-t0:.0f}s)",
                       file=sys.stderr)
-                if name != "fused":
+                if name not in ("fused", "fused4"):
                     # the fused program's own cost_analysis double-counts
                     # its (unexecuted at max_restarts=1) while-loop bodies;
                     # the staged stages' sum IS the work it executes
@@ -1027,10 +1106,11 @@ def _run_live():
             retimed = _time_stages_multipass(
                 {n: r for n, (r, _) in stages.items()}, passes=2)
             fused_ms = min(stage_ms["fused"], retimed["fused"])
+            fused4_ms = min(stage_ms["fused4"], retimed["fused4"]) / 4
             for name in stages:
                 ms = min(stage_ms[name], retimed[name])
                 breakdown[name] = round(ms, 2)
-                if name != "fused":
+                if name not in ("fused", "fused4"):
                     total_ms += ms
             print(f"# retimed: { {n: round(v, 2) for n, v in retimed.items()} }",
                   file=sys.stderr)
@@ -1067,21 +1147,39 @@ def _run_live():
                 retry_f = _time_stage(stages["fused"][0], name="fused")
                 fused_ms = min(fused_ms, retry_f)
                 breakdown["fused"] = round(fused_ms, 2)
+                retry_f4 = _time_stage(stages["fused4"][0],
+                                       name="fused4") / 4
+                fused4_ms = min(fused4_ms, retry_f4)
+                breakdown["fused4"] = round(fused4_ms * 4, 2)
                 if sb is not None and su2_stats:
                     retry_s = _time_stage(sb.stage_fused(), name="su2_fused")
-                    if retry_s < su2_stats.get("su2_iteration_ms", np.inf):
-                        su2_stats["su2_iteration_ms"] = round(retry_s, 2)
+                    if retry_s < su2_stats.get("su2_fused_step_ms", np.inf):
+                        su2_stats["su2_fused_step_ms"] = round(retry_s, 2)
                         su2_stats["su2_breakdown_ms"]["fused"] = round(
                             retry_s, 2)
+                    retry_s4 = _time_stage(sb.stage_fused4(),
+                                           name="su2_fused4") / 4
+                    su2_stats["su2_fused_chunk4_per_iter_ms"] = round(
+                        min(su2_stats.get("su2_fused_chunk4_per_iter_ms",
+                                          np.inf), retry_s4), 2)
+                    su2_stats["su2_iteration_ms"] = round(
+                        min(su2_stats.get("su2_iteration_ms", np.inf),
+                            retry_s, retry_s4), 2)
                 headline_window = "retry_after_throttle"
                 passes, _ = _throttle_stats()
             del sb
 
-            value_ms = min(fused_ms, total_ms) if fused_ms else total_ms
+            # headline = per-iteration cost of the PRODUCTION dispatch
+            # path (the chunk-4 scan the driver runs by default); the
+            # single-step program is reported alongside for
+            # round-over-round comparability
+            value_ms = min(fused_ms, fused4_ms, total_ms)
             tflops = total_flops / (value_ms * 1e-3) / 1e12 if value_ms else 0
             record = {
                 "metric": f"vumps_iteration_ms_chi{chi}",
                 "value": round(value_ms, 2),
+                "fused_step_ms": round(fused_ms, 2),
+                "fused_chunk4_per_iter_ms": round(fused4_ms, 2),
                 "staged_sum_ms": round(total_ms, 2),
                 "unit": "ms",
                 "vs_baseline": 0.0,       # filled by the dict stage below

@@ -62,8 +62,29 @@ def refine_f64(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-10,
     psi64 = cast_state(psi, f64)
     if jnp.dtype(next(iter(H.Ws[0].values())).dtype).itemsize < 8:
         H = cast_hamiltonian(H, f64)
+    # exact f64 re-canonicalization FIRST: the cast state carries the f32
+    # solve's gauge error (~delta), which makes its mixed AL/AR energy a
+    # non-variational estimate biased at O(delta); after re-gauging the
+    # energy is a true Rayleigh quotient whose error vs the optimum at
+    # this structure is QUADRATIC in the state error
+    from ..mps.imps import mixed_gauge
+    from .environments import Environments
+    try:
+        psi64 = mixed_gauge(psi64.ALs, tol=1e-13)
+    except Exception:
+        pass
+    envs0 = Environments(psi64, H, tol=min(tol * 1e-2, 1e-12))
+    e0 = float(jnp.real(envs0.energy_per_site))
     res = vumps(psi64, H, tol=tol, maxiter=maxiter,
                 verbosity=max(0, verbosity - 1))
+    if e0 < res.energy:
+        # VUMPS is a fixed-point scheme, not a descent method: from a
+        # near-converged start it can settle on a nearby stationary
+        # point ABOVE the input's quotient (measured +1.2e-7 on a
+        # chi-384 chip state).  Keep the better state; the polish below
+        # re-measures the gradient.
+        res = VUMPSResult(psi64, envs0, e0, res.error, res.iterations,
+                          res.converged, res.history)
     if grassmann_iters > 0:
         from .grassmann import grassmann_polish
         gp = grassmann_polish(res.psi, H, tol=tol, maxiter=grassmann_iters,

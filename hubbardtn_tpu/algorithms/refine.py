@@ -90,9 +90,17 @@ def refine_f64(psi: UniformMPS, H: MPOHamiltonian, tol: float = 1e-10,
         gp = grassmann_polish(res.psi, H, tol=tol, maxiter=grassmann_iters,
                               verbosity=max(0, verbosity - 1), envs=res.envs)
         if gp.energy <= res.energy:
-            res = VUMPSResult(gp.psi, gp.envs, gp.energy,
-                              min(res.error, gp.error),
+            res = VUMPSResult(gp.psi, gp.envs, gp.energy, gp.error,
                               res.iterations + gp.iterations,
                               res.converged or gp.converged,
                               res.history + gp.history)
+        elif gp.history:
+            # polish found no descent (the achievable decrease O(|g|^2)
+            # sits below the env noise floor): keep the state, but
+            # report ITS measured gradient — the polish's first
+            # iteration computed it — not the error of whatever VUMPS
+            # fixed point was discarded above
+            res = VUMPSResult(res.psi, res.envs, res.energy,
+                              float(gp.history[0]["gnorm"]),
+                              res.iterations, res.converged, res.history)
     return res

@@ -1269,7 +1269,15 @@ def _run_live():
             _emit(record)
 
             # T=4 fused-vs-staged equality ON THE CHIP (the multi-band /
-            # spin fused program XLA-CPU cannot compile; r4 weak #3)
+            # spin fused program XLA-CPU cannot compile; r4 weak #3).
+            # The committed artifact holds the full two-model offline
+            # validation; the in-window stage re-runs what fits.
+            try:
+                with open(os.path.join(_REPO, "data",
+                                       "t4_validation.json")) as f:
+                    record["t4_offline"] = json.load(f)
+            except OSError:
+                pass
             if os.environ.get("BENCH_T4", "1") == "0":
                 record["t4_skipped"] = "BENCH_T4=0"
             elif _left() > 420:

@@ -53,7 +53,8 @@ import numpy as np
 os.makedirs(os.environ["HTN_COMPILE_CACHE"], exist_ok=True)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["HTN_COMPILE_CACHE"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  float(os.environ.get("HTN_CACHE_MIN_S", "0.1")))
 
 # Global wall-clock budget: the driver kills the bench at an unknown
 # window (round 4 died rc=124 with the record incomplete).  Every stage
@@ -65,7 +66,7 @@ _DEADLINE = [0.0]
 
 def _budget_init():
     _DEADLINE[0] = time.time() + float(
-        os.environ.get("BENCH_TOTAL_BUDGET_S", "2700"))
+        os.environ.get("BENCH_TOTAL_BUDGET_S", "3300"))
 
 
 def _left() -> float:
@@ -768,7 +769,7 @@ def _count_compiles(stderr_text: str) -> int:
     return max(len(re.findall(p, stderr_text)) for p in pats)
 
 
-def _e2e_bench(record, emit):
+def _e2e_bench(record, emit, rungs=("warm", "energy", "refine")):
     """End-to-end production compute_groundstate on the chip (the north
     star's unit of work, /root/reference/src/HubbardFunctions.jl:993-1030).
 
@@ -850,31 +851,39 @@ def _e2e_bench(record, emit):
         return res
 
     cap = int(os.environ.get("BENCH_E2E_COLD_CAP", "384"))
+    host_env = {"JAX_PLATFORMS": "cpu"}
+
+    if "chi2048" in rungs:
+        # the big rung runs as its OWN late stage: it repeats the warm
+        # schedule's expansion prefix cache-warm and only compiles the
+        # structures above the cap, but that still costs serious window
+        # (client-side XLA on a 1-core host), so it goes last
+        try:
+            big = timed_solve(2048, "_chi2048", _left())
+            push(e2e_chi2048_energy_f32=big["energy"],
+                 e2e_chi2048_delta=big["delta"],
+                 e2e_chi2048_final_chi=big["chi"],
+                 e2e_chi2048_bonds=big["bonds"])
+        except Exception as e:
+            print(f"# e2e chi2048 rung skipped/failed: {e}",
+                  file=sys.stderr)
+            push(e2e_chi2048_skipped=str(e)[-160:])
+        return out
+
     final = None
     try:
         final = timed_solve(cap, "_warm", _left())
     except Exception as e:
         push(e2e_note=f"warm solve failed: {e}")
         return out
-
-    # larger rung: repeats the same expansion prefix cache-warm and only
-    # compiles structures the cache has not seen
-    if _left() > max(500, 1.3 * out["e2e_solve_s_warm"]):
-        try:
-            final = timed_solve(2048, "_chi2048", _left())
-        except Exception as e:
-            print(f"# e2e chi2048 rung skipped/failed: {e}",
-                  file=sys.stderr)
-            push(e2e_chi2048_skipped=str(e)[-160:])
-    else:
-        push(e2e_chi2048_skipped=f"window: {int(_left())}s left")
     push(e2e_energy_f32=final["energy"], e2e_delta=final["delta"],
          e2e_iters=final["iters"], e2e_final_chi=final["chi"],
          e2e_bonds=final["bonds"], e2e_solve_wall_s=final["wall_s"])
 
     # f64 energy evaluation of the final state on the host CPU
-    host_env = {"JAX_PLATFORMS": "cpu"}
-    if _left() > 120:
+    if "energy" not in rungs:
+        pass
+    elif _left() > 120:
         try:
             ev, _ = run("energy", ["--state", state_path], host_env,
                         timeout=max(_left() - 20, 90))
@@ -1268,6 +1277,18 @@ def _run_live():
                 record["idmrg2_skipped"] = f"window: {int(_left())}s left"
             _emit(record)
 
+            # e2e warm solve + precision rungs: round 4's #1 missing
+            # evidence, so it outranks the t4 re-run and the chi2048
+            # extension below
+            if os.environ.get("BENCH_E2E", "1") != "0":
+                try:
+                    _e2e_bench(record, _emit)
+                except Exception as e:
+                    import traceback
+                    traceback.print_exc(file=sys.stderr)
+                    record["e2e_note"] = f"e2e stage failed: {e}"
+                    _emit(record)
+
             # T=4 fused-vs-staged equality ON THE CHIP (the multi-band /
             # spin fused program XLA-CPU cannot compile; r4 weak #3).
             # The committed artifact holds the full two-model offline
@@ -1280,11 +1301,11 @@ def _run_live():
                 pass
             if os.environ.get("BENCH_T4", "1") == "0":
                 record["t4_skipped"] = "BENCH_T4=0"
-            elif _left() > 420:
+            elif _left() > 900:
                 try:
                     t4 = _stage_subprocess(
                         [os.path.join(_REPO, "bench_t4.py")],
-                        timeout=max(min(_left() - 60, 1500), 300),
+                        timeout=max(min(_left() - 60, 1800), 300),
                         tag="t4")
                     record.update({k: v for k, v in t4.items()
                                    if k.startswith("t4_")})
@@ -1294,13 +1315,18 @@ def _run_live():
                 record["t4_skipped"] = f"window: {int(_left())}s left"
             _emit(record)
 
+            # chi >= 2048 production solve (BASELINE.json:5's unit of
+            # work): last, with whatever window remains
             if os.environ.get("BENCH_E2E", "1") != "0":
-                try:
-                    _e2e_bench(record, _emit)
-                except Exception as e:
-                    import traceback
-                    traceback.print_exc(file=sys.stderr)
-                    record["e2e_note"] = f"e2e stage failed: {e}"
+                if _left() > 700:
+                    try:
+                        _e2e_bench(record, _emit, rungs=("chi2048",))
+                    except Exception as e:
+                        record["e2e_chi2048_skipped"] = str(e)[-160:]
+                        _emit(record)
+                else:
+                    record["e2e_chi2048_skipped"] = (
+                        f"window: {int(_left())}s left")
                     _emit(record)
             return
         except Exception as e:  # TPU tunnel flakiness: retry smaller

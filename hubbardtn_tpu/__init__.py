@@ -38,7 +38,12 @@ if _os.environ.get("HTN_COMPILE_CACHE"):
 
     _jax.config.update("jax_compilation_cache_dir",
                        _os.environ["HTN_COMPILE_CACHE"])
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # threshold 0.1 s: a production solve issues THOUSANDS of sub-second
+    # structure-dependent compiles (per-bond-structure helper jits)
+    # whose sum rivals the big fused programs' compile time; cache reads
+    # cost ~ms each, far below any of them (HTN_CACHE_MIN_S overrides)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                       float(_os.environ.get("HTN_CACHE_MIN_S", "0.1")))
 
 from .models.hubbard import MBCSim, MBSim, OBCSim, OBSim, hamiltonian
 from .algorithms.groundstate import compute_groundstate, find_groundstate

@@ -46,6 +46,53 @@ _LAST_RESULT = os.path.join(_REPO, "data", "bench_last.json")
 os.environ.setdefault("HTN_COMPILE_CACHE",
                       os.path.join(_REPO, "data", "xla_cache"))
 
+
+def _restore_cache_seed():
+    """Unpack the committed compile-cache seed into an EMPTY live cache.
+
+    The live cache dir (data/xla_cache) is gitignored and the workspace
+    can be re-checked-out between the session that populated it and the
+    driver window that runs this bench — losing it re-creates round 4's
+    unfittable-e2e failure.  A seed tarball committed alongside the
+    sources (data/xla_cache_seed.tar.gz, produced by
+    `python bench.py --pack-cache`) survives the checkout; it is only
+    ever extracted when the live dir has no entries, so a populated
+    cache is never overwritten with stale seeds."""
+    cache = os.environ["HTN_COMPILE_CACHE"]
+    seed = os.path.join(_REPO, "data", "xla_cache_seed.tar.gz")
+    try:
+        live = os.listdir(cache)
+    except OSError:
+        live = []
+    if live or not os.path.exists(seed):
+        return
+    import tarfile
+    try:
+        with tarfile.open(seed, "r:gz") as tf:
+            tf.extractall(cache, filter="data")
+        print(f"# compile cache seeded from {seed} "
+              f"({len(os.listdir(cache))} entries)", file=sys.stderr)
+    except Exception as e:  # a bad seed must not kill the bench
+        print(f"# cache seed restore failed (continuing cold): {e}",
+              file=sys.stderr)
+
+
+def _pack_cache_seed():
+    """`python bench.py --pack-cache`: snapshot the live cache into the
+    committable seed tarball (see _restore_cache_seed)."""
+    import tarfile
+    cache = os.environ["HTN_COMPILE_CACHE"]
+    seed = os.path.join(_REPO, "data", "xla_cache_seed.tar.gz")
+    entries = sorted(os.listdir(cache))
+    with tarfile.open(seed, "w:gz") as tf:
+        for name in entries:
+            tf.add(os.path.join(cache, name), arcname=name)
+    print(f"packed {len(entries)} cache entries "
+          f"-> {seed} ({os.path.getsize(seed) / 1e6:.1f} MB)")
+
+
+_restore_cache_seed()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1338,7 +1385,9 @@ def _run_live():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--dict-only":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--pack-cache":
+        _pack_cache_seed()
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--dict-only":
         _dict_only(int(sys.argv[2]))
     elif len(sys.argv) >= 3 and sys.argv[1] == "--idmrg2-only":
         _idmrg2_only(int(sys.argv[2]))
